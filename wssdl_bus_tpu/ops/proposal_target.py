@@ -62,6 +62,13 @@ def sample_rois_single(key,
         all_valid = jnp.concatenate([prop_valid, is_fg_gt], axis=0)
     else:
         all_boxes, all_valid = prop_boxes, prop_valid
+    # Ensure at least rois_per_image candidate rows so the fixed-size output
+    # gather below is always well-formed (pad rows are invalid).
+    if all_boxes.shape[0] < rois_per_image:
+        short = rois_per_image - all_boxes.shape[0]
+        all_boxes = jnp.concatenate(
+            [all_boxes, jnp.zeros((short, 4), all_boxes.dtype)], axis=0)
+        all_valid = jnp.concatenate([all_valid, jnp.zeros((short,), bool)])
     n = all_boxes.shape[0]
 
     ov = iou_matrix(all_boxes, gt_boxes[:, :4])

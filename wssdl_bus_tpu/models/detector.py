@@ -1,0 +1,151 @@
+"""Detector assembly: trunk + RPN head + RCNN head.
+
+The reference wires these through its layer DSL
+(``VGGnet_train_bus.py:62-101``, ``Resnet_train_bus.py:65-101``); here the
+differentiable graph is two flax modules (``TrunkRPN`` applied to images,
+``RCNNHead`` applied to ROI-pooled features) and all detection geometry
+(anchor targets, proposals, ROI sampling, ROI pooling) lives in
+``wssdl_bus_tpu.ops`` as pure jit functions between them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from wssdl_bus_tpu.models.layers import ConvBlock
+from wssdl_bus_tpu.models.resnet import (RESNET_DEFS, ResNetBackbone,
+                                         ResNetRCNNHead)
+from wssdl_bus_tpu.models.vgg import VGG16Backbone, VGGRCNNHead
+
+
+class TrunkRPN(nn.Module):
+    """Backbone features + RPN conv heads.
+
+    RPN layout matches the reference: a 3x3 conv (512 for VGG, 256/1024 for
+    ResNet, normalised for ResNet), then 1x1 convs to 2A class logits and 4A
+    box deltas (VGGnet_train_bus.py:63-73, Resnet_train_bus.py:66-74).
+    """
+
+    backbone: str = "VGGnet"       # 'VGGnet' | 'Resnet'
+    depth: int = 50
+    norm: Optional[str] = None     # backbone/RPN norm for ResNet
+    num_anchors: int = 9
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, data):
+        if self.backbone == "VGGnet":
+            feat = VGG16Backbone(train=self.train, name="backbone")(data)
+            rpn = ConvBlock(512, 3, 1, train=self.train,
+                            name="rpn_conv")(feat)
+        else:
+            feat = ResNetBackbone(depth=self.depth, norm=self.norm,
+                                  train=self.train, name="backbone")(data)
+            defs, kind = RESNET_DEFS[self.depth]
+            rpn_ch = 256 if kind == "basic" else 1024
+            rpn = ConvBlock(rpn_ch, 3, 1, norm=self.norm, train=self.train,
+                            name="rpn_conv")(feat)
+        a = self.num_anchors
+        rpn_cls_score = ConvBlock(2 * a, 1, 1, relu=False, padding="VALID",
+                                  train=self.train, name="rpn_cls_score")(rpn)
+        rpn_bbox_pred = ConvBlock(4 * a, 1, 1, relu=False, padding="VALID",
+                                  train=self.train, name="rpn_bbox_pred")(rpn)
+        return feat, rpn_cls_score, rpn_bbox_pred
+
+
+def rpn_softmax(rpn_cls_score: jnp.ndarray, num_anchors: int) -> jnp.ndarray:
+    """Per-anchor bg/fg softmax over paired channels (a, A+a).
+
+    Reproduces the reference's reshape_layer(2) -> softmax -> reshape_layer(2A)
+    round-trip (network.py:283-291,398-404): channel ``a`` is the background
+    logit and ``A+a`` the foreground logit of anchor ``a``.
+    """
+    b, h, w, _ = rpn_cls_score.shape
+    pair = rpn_cls_score.reshape(b, h, w, 2, num_anchors)
+    prob = jax.nn.softmax(pair, axis=3)
+    return prob.reshape(b, h, w, 2 * num_anchors)
+
+
+@dataclass
+class FasterRCNN:
+    """Bundles train/eval module instances and their apply helpers.
+
+    The network factory analog of ``networks/factory_bus.py:28-44``.
+    """
+
+    backbone: str = "VGGnet"
+    depth: int = 50
+    norm: Optional[str] = None
+    num_classes: int = 3
+    num_anchors: int = 9
+
+    def _trunk(self, train: bool) -> TrunkRPN:
+        return TrunkRPN(backbone=self.backbone, depth=self.depth,
+                        norm=self.norm, num_anchors=self.num_anchors,
+                        train=train)
+
+    def _head(self, train: bool):
+        if self.backbone == "VGGnet":
+            return VGGRCNNHead(num_classes=self.num_classes, train=train)
+        return ResNetRCNNHead(depth=self.depth, norm=self.norm,
+                              num_classes=self.num_classes, train=train)
+
+    # ------------------------------------------------------------------ #
+    def init_variables(self, rng, image_hw, roi_hw=(7, 7)) -> dict:
+        """Initialise {'trunk': vars, 'head': vars} for a given canvas."""
+        k1, k2 = jax.random.split(rng)
+        dummy = jnp.zeros((1, image_hw[0], image_hw[1], 3), jnp.float32)
+        trunk_vars = self._trunk(train=False).init(k1, dummy)
+        feat_ch = (512 if self.backbone == "VGGnet"
+                   else (256 if RESNET_DEFS[self.depth][1] == "basic"
+                         else 1024))
+        dummy_roi = jnp.zeros((1, roi_hw[0], roi_hw[1], feat_ch), jnp.float32)
+        head_vars = self._head(train=False).init(k2, dummy_roi)
+        return {"trunk": dict(trunk_vars), "head": dict(head_vars)}
+
+    def apply_trunk(self, variables, data, train: bool):
+        """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates)."""
+        module = self._trunk(train)
+        if train:
+            (feat, score, bbox), mutated = module.apply(
+                variables["trunk"], data, mutable=["batch_stats"])
+            return feat, score, bbox, mutated.get("batch_stats")
+        feat, score, bbox = module.apply(variables["trunk"], data)
+        return feat, score, bbox, None
+
+    def apply_head(self, variables, roi_feats, train: bool,
+                   dropout_rng=None):
+        """-> (cls_score, bbox_pred, batch_stats_updates)."""
+        module = self._head(train)
+        rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) \
+            else None
+        if train:
+            (cls, bbox), mutated = module.apply(
+                variables["head"], roi_feats, mutable=["batch_stats"],
+                rngs=rngs)
+            return cls, bbox, mutated.get("batch_stats")
+        cls, bbox = module.apply(variables["head"], roi_feats)
+        return cls, bbox, None
+
+
+def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
+                   num_classes: int = 3) -> FasterRCNN:
+    """Factory mirroring ``get_network`` names (factory_bus.py:28-44):
+    'VGGnet_train' / 'VGGnet_test' / 'Resnet_train' / 'Resnet_test' and the
+    '_alter' variants all map onto the same module pair here (the train/test
+    distinction is an apply-time flag, not a separate graph)."""
+    if name.startswith("VGGnet"):
+        return FasterRCNN(backbone="VGGnet", num_classes=num_classes)
+    if name.startswith("Resnet"):
+        if depth not in RESNET_DEFS:
+            raise KeyError(f"unsupported ResNet depth {depth}")
+        return FasterRCNN(backbone="Resnet", depth=depth, norm=norm,
+                          num_classes=num_classes)
+    raise KeyError(f"unknown network name {name}")

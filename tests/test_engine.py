@@ -1,0 +1,108 @@
+"""End-to-end smoke tests: full jitted train / eval / inference steps on a
+tiny canvas with synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.models.detector import FasterRCNN
+from wssdl_bus_tpu.train.engine import Engine
+
+CANVAS = (96, 128)
+
+
+def tiny_cfg():
+    return Config().with_overrides([
+        "TRAIN.RPN_PRE_NMS_TOP_N", "300",
+        "TRAIN.RPN_POST_NMS_TOP_N", "64",
+        "TRAIN.BATCH_SIZE", "32",
+        "TRAIN.RPN_BATCHSIZE", "64",
+        "TEST.RPN_PRE_NMS_TOP_N", "200",
+        "TEST.RPN_POST_NMS_TOP_N", "32",
+    ])
+
+
+def synth_batch(rng, n_s=1, n_ws=2):
+    n = n_s + n_ws
+    data = rng.randn(n, *CANVAS, 3).astype(np.float32)
+    gt = np.zeros((n, 20, 5), np.float32)
+    num_gt = np.zeros((n,), np.int32)
+    im_info = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        im_info[i] = [CANVAS[0], CANVAS[1], 1.5, 2 if i % 2 else 1]
+    for i in range(n_s):
+        gt[i, 0] = [10, 10, 80, 60, 1]
+        gt[i, 1] = [30, 40, 120, 90, 2]
+        gt[i, 2] = [5, 64, 100, 92, 0]
+        num_gt[i] = 3
+    return {k: jnp.array(v) for k, v in
+            {"data": data, "gt_boxes": gt, "num_gt_boxes": num_gt,
+             "im_info": im_info}.items()}
+
+
+@pytest.fixture(scope="module")
+def engine_and_vars():
+    cfg = tiny_cfg()
+    model = FasterRCNN(backbone="VGGnet")
+    eng = Engine(model, cfg, CANVAS)
+    variables, opt_state = eng.init(jax.random.PRNGKey(0))
+    return eng, variables, opt_state
+
+
+def test_combined_train_step_updates_params(engine_and_vars, rng):
+    eng, variables, opt_state = engine_and_vars
+    batch = synth_batch(rng)
+    v2, opt2, losses = eng.train_step(
+        variables, opt_state, batch, jax.random.PRNGKey(1),
+        jnp.float32(5e-4), jnp.int32(0))
+    for l in losses:
+        assert np.isfinite(np.asarray(l)), losses
+    # trainable params moved, frozen conv1/conv2 untouched
+    p_old = variables["trunk"]["params"]["backbone"]
+    p_new = v2["trunk"]["params"]["backbone"]
+    assert np.allclose(np.asarray(p_old["conv1_1"]["conv"]["kernel"]),
+                       np.asarray(p_new["conv1_1"]["conv"]["kernel"]))
+    assert not np.array_equal(np.asarray(p_old["conv5_3"]["conv"]["kernel"]),
+                              np.asarray(p_new["conv5_3"]["conv"]["kernel"]))
+    # head moved too
+    assert not np.array_equal(
+        np.asarray(variables["head"]["params"]["cls_score"]["dense"]["kernel"]),
+        np.asarray(v2["head"]["params"]["cls_score"]["dense"]["kernel"]))
+
+
+def test_mil_train_step(engine_and_vars, rng):
+    eng, variables, opt_state = engine_and_vars
+    batch = synth_batch(rng, n_s=0, n_ws=2)
+    eng2 = Engine(eng.model, eng.cfg, CANVAS, num_supervised=0, num_ws=2,
+                  selector_pair=("mass_max", "mal_max"))
+    eng2.tx = eng.tx
+    v2, opt2, mil = eng2.train_step_mil(
+        variables, opt_state, batch, jax.random.PRNGKey(2),
+        jnp.float32(5e-4), jnp.int32(100))
+    assert np.isfinite(np.asarray(mil))
+    assert np.asarray(mil) > 0
+    # with random-init weights the MIL gradient magnitude is ~1e-10 (13
+    # layers of std-0.01 convs shrink activations), so param deltas are below
+    # float32 resolution; assert the optimizer consumed the step instead.
+    inner = jax.tree_util.tree_leaves(opt2)
+    assert any(np.asarray(l).dtype == np.int32 and np.asarray(l).item() == 1
+               for l in inner if np.ndim(l) == 0)
+
+
+def test_eval_and_inference_steps(engine_and_vars, rng):
+    eng, variables, _ = engine_and_vars
+    batch = synth_batch(rng, n_s=1, n_ws=0)
+    ls, rois, cls_prob, bbox_pred, labels = eng.eval_step(
+        variables, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(ls.total))
+    assert rois.shape[1] == 5
+
+    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
+        variables, batch["data"], batch["im_info"])
+    p = eng.cfg.TEST.RPN_POST_NMS_TOP_N
+    assert rois.shape == (p, 5)
+    assert cls_prob.shape == (p, 3)
+    assert bbox_pred.shape == (p, 12)
+    np.testing.assert_allclose(np.asarray(cls_prob).sum(-1), 1.0, rtol=1e-4)

@@ -1,0 +1,4 @@
+"""SNUBH_BUS dataset, augmentation and fixed-shape minibatch assembly."""
+
+from wssdl_bus_tpu.data.dataset import BusDataset, get_imdb, prepare_roidb
+from wssdl_bus_tpu.data.loader import RoIDataLayer, RoIDataLayerJoint

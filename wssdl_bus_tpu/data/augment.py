@@ -1,0 +1,104 @@
+"""Host-side image preparation and augmentation.
+
+Re-implements ``prep_im_for_blob`` (``/root/reference/code/lib/utils/blob.py:
+34-79``) on single-channel float arrays (the BUS TIFFs are grayscale and every
+op below is channel-uniform, so we process one channel and replicate at pack
+time — numerically identical to the reference's 3-channel path):
+
+  * weak-image-only: rotation within +/-ROTATION_MAX_ANGLE degrees (bilinear,
+    background filled with the pixel mean) and random margin cropping up to
+    CROPPING_MAX_MARGIN per side (blob.py:39-48);
+  * all-training: brightness shift +/-0.2 and contrast scaling in [0.2, 1.8]
+    about the image mean, both clipped to [0, 1] (blob.py:50-58);
+  * mean subtraction, shortest-side-600 / longest-side-1000 resize;
+  * output scaling: x255 for VGG, /(std/255) for ResNet (blob.py:74-77).
+
+The reference uses stateful numpy RNG; we thread a ``np.random.RandomState``
+for reproducibility under ``cfg.RNG_SEED`` (train.py:63-65).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+from scipy import ndimage
+
+from wssdl_bus_tpu.config import Config
+
+
+def resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize of a single-channel float image via PIL."""
+    pil = Image.fromarray(im.astype(np.float32), mode="F")
+    return np.asarray(pil.resize((out_w, out_h), Image.BILINEAR))
+
+
+def compute_scale(h: int, w: int, target_size: int, max_size: int) -> float:
+    """shortest-side target with a longest-side cap (blob.py:63-68)."""
+    im_scale = float(target_size) / min(h, w)
+    if np.round(im_scale * max(h, w)) > max_size:
+        im_scale = float(max_size) / max(h, w)
+    return im_scale
+
+
+def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
+               is_ws: bool, rng: np.random.RandomState):
+    """-> (prepared [H', W'] float32, im_scale)."""
+    t = cfg.TRAIN
+    im = im.astype(np.float32) / 255.0
+
+    if is_ws and is_training:
+        if t.USE_ROTATION:
+            angle = rng.uniform(-t.ROTATION_MAX_ANGLE, t.ROTATION_MAX_ANGLE)
+            im = ndimage.rotate(im, angle, reshape=False, order=1,
+                                mode="constant", cval=cfg.PIXEL_MEAN / 255.0)
+        if t.USE_CROPPING:
+            mh = t.CROPPING_MAX_MARGIN * im.shape[0]
+            mw = t.CROPPING_MAX_MARGIN * im.shape[1]
+            u = rng.randint(0, int(mh) + 1)
+            d = rng.randint(1, max(int(mh), 1) + 1)
+            l = rng.randint(0, int(mw) + 1)
+            r = rng.randint(1, max(int(mw), 1) + 1)
+            im = im[u:-d, l:-r]
+
+    if is_training:
+        if t.USE_BRIGHTNESS_ADJUSTMENT:
+            im = np.clip(im + rng.uniform(-t.BRIGHTNESS_ADJUSTMENT_MAX_DELTA,
+                                          t.BRIGHTNESS_ADJUSTMENT_MAX_DELTA),
+                         0.0, 1.0)
+        if t.USE_CONTRAST_ADJUSTMENT:
+            mm = im.mean()
+            f = rng.uniform(t.CONTRAST_ADJUSTMENT_LOWER_FACTOR,
+                            t.CONTRAST_ADJUSTMENT_UPPER_FACTOR)
+            im = np.clip((im - mm) * f + mm, 0.0, 1.0)
+
+    im = im - cfg.PIXEL_MEAN / 255.0
+
+    scales = t.SCALES if is_training else cfg.TEST.SCALES
+    max_size = t.MAX_SIZE if is_training else cfg.TEST.MAX_SIZE
+    target = scales[rng.randint(len(scales))] if len(scales) > 1 else scales[0]
+    h, w = im.shape
+    im_scale = compute_scale(h, w, target, max_size)
+    out_h = int(np.round(h * im_scale))
+    out_w = int(np.round(w * im_scale))
+    im = resize_bilinear(im, out_h, out_w)
+
+    if net_name[:6] == "Resnet":
+        im = im / (cfg.PIXEL_STD / 255.0)
+    else:  # VGGnet
+        im = im * 255.0
+    return im.astype(np.float32), im_scale
+
+
+def max_canvas(image_sizes, target_size: int, max_size: int,
+               multiple: int = 16, margin: int = 16):
+    """Static canvas (H, W) covering every resized image in the dataset,
+    rounded up to a multiple of the feature stride (+margin for the slight
+    size wobble that ws-cropping introduces)."""
+    best_h = best_w = 0
+    for (h, w) in image_sizes:
+        s = compute_scale(h, w, target_size, max_size)
+        best_h = max(best_h, int(np.round(h * s)))
+        best_w = max(best_w, int(np.round(w * s)))
+    rh = -(-(best_h + margin) // multiple) * multiple
+    rw = -(-(best_w + margin) // multiple) * multiple
+    return rh, rw

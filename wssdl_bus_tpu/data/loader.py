@@ -1,0 +1,122 @@
+"""Epoch-shuffled data layers with optional background prefetch.
+
+Re-implements ``RoIDataLayer`` (``layer_bus.py:9-78``) and
+``RoIDataLayerJoint`` (``layer_bus_joint.py:8-104``): independent shuffled
+cursors per roidb, re-shuffled at epoch end during training and iterated in
+order at test time.
+
+Addition over the reference: a daemon prefetch thread (bounded queue) that
+overlaps host-side decode/augment/pack with the device step — the reference's
+``USE_PREFETCH`` flag exists but was never implemented (config.py:170-172).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.data.minibatch import get_minibatch, get_minibatch_joint
+
+
+class _Cursor:
+    def __init__(self, n: int, shuffle: bool, rng: np.random.RandomState):
+        self.n = n
+        self.shuffle = shuffle
+        self.rng = rng
+        self._reset()
+
+    def _reset(self):
+        self.perm = (self.rng.permutation(self.n) if self.shuffle
+                     else np.arange(self.n))
+        self.cur = 0
+
+    def next(self, k: int) -> np.ndarray:
+        if self.cur + k > self.n:
+            self._reset()
+        idx = self.perm[self.cur:self.cur + k]
+        self.cur += k
+        return idx
+
+
+class RoIDataLayer:
+    """Single-regime loader (supervised or weak)."""
+
+    def __init__(self, roidb, net_name: str, cfg: Config, canvas_hw,
+                 is_training: bool, is_ws: bool = False,
+                 rng: np.random.RandomState = None):
+        self.roidb = roidb
+        self.net_name = net_name
+        self.cfg = cfg
+        self.canvas_hw = canvas_hw
+        self.is_training = is_training
+        self.is_ws = is_ws
+        self.rng = rng or np.random.RandomState(cfg.RNG_SEED)
+        per = cfg.TRAIN.WS_IMS_PER_BATCH if is_ws else cfg.TRAIN.IMS_PER_BATCH
+        self.ims_per_batch = per if is_training else 1
+        self.cursor = _Cursor(len(roidb), is_training, self.rng)
+
+    def forward(self):
+        idx = self.cursor.next(self.ims_per_batch)
+        batch = [self.roidb[i] for i in idx]
+        return get_minibatch(batch, self.net_name, self.cfg, self.canvas_hw,
+                             self.is_training, self.is_ws, self.rng)
+
+
+class RoIDataLayerJoint:
+    """Joint loader: IMS_PER_BATCH supervised + WS_IMS_PER_BATCH weak images
+    per step, two independent shuffled cursors (layer_bus_joint.py:29-91)."""
+
+    def __init__(self, roidb_s, roidb_ws, net_name: str, cfg: Config,
+                 canvas_hw, is_training: bool = True,
+                 rng: np.random.RandomState = None):
+        self.roidb_s = roidb_s
+        self.roidb_ws = roidb_ws
+        self.net_name = net_name
+        self.cfg = cfg
+        self.canvas_hw = canvas_hw
+        self.rng = rng or np.random.RandomState(cfg.RNG_SEED)
+        self.cursor_s = _Cursor(len(roidb_s), is_training, self.rng)
+        self.cursor_ws = _Cursor(len(roidb_ws), is_training, self.rng)
+
+    def forward(self):
+        ids = self.cursor_s.next(self.cfg.TRAIN.IMS_PER_BATCH)
+        idw = self.cursor_ws.next(self.cfg.TRAIN.WS_IMS_PER_BATCH)
+        return get_minibatch_joint([self.roidb_s[i] for i in ids],
+                                   [self.roidb_ws[i] for i in idw],
+                                   self.net_name, self.cfg, self.canvas_hw,
+                                   self.rng)
+
+
+class Prefetcher:
+    """Bounded-queue background prefetch around any layer with .forward()."""
+
+    def __init__(self, layer, depth: int = 2):
+        self.layer = layer
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            blobs = self.layer.forward()
+            while not self._stop.is_set():
+                try:
+                    self.q.put(blobs, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def forward(self):
+        return self.q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,268 @@
+"""VOC AP + CorLoc + FROC metrics engine.
+
+Re-implements ``voc_eval_bus``
+(``/root/reference/code/lib/datasets/voc_eval_bus.py:69-281``) and the
+orchestration in ``bus._do_python_eval`` (``bus.py:263-392``):
+
+  * per-class VOC AP with the 07 11-point method (forced on, bus.py:291);
+  * CorLoc: fraction of GT-containing images where some detection scoring
+    >= 0.5 overlaps a GT with IoU > 0.5 (voc_eval_bus.py:160-206);
+  * FROC points over score thresholds 1.0 -> 0 step 0.05 (bus.py:366-390);
+  * the ``bus_test_normal`` FP-counting mode (bus.py:303-322).
+
+One intentional difference: the reference round-trips detections through VOC
+results .txt files written INTO the dataset tree (bus.py:245-261); we keep the
+dataset read-only and evaluate in memory, writing ``eval.txt``,
+``froc_curve_pts.npy``, ``num_fp_per_img.npy`` and ``all_arr_ok.npy`` to the
+run's output directory with the same contents.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+
+def voc_ap(rec, prec, use_07_metric=True):
+    """(voc_eval_bus.py:36-67)"""
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = 0.0 if np.sum(rec >= t) == 0 else np.max(prec[rec >= t])
+            ap += p / 11.0
+        return ap
+    mrec = np.concatenate(([0.0], rec, [1.0]))
+    mpre = np.concatenate(([0.0], prec, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    i = np.where(mrec[1:] != mrec[:-1])[0]
+    return np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1])
+
+
+def _iou_1_to_many(bb, BBGT):
+    ixmin = np.maximum(BBGT[:, 0], bb[0])
+    iymin = np.maximum(BBGT[:, 1], bb[1])
+    ixmax = np.minimum(BBGT[:, 2], bb[2])
+    iymax = np.minimum(BBGT[:, 3], bb[3])
+    iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
+    ih = np.maximum(iymax - iymin + 1.0, 0.0)
+    inters = iw * ih
+    uni = ((bb[2] - bb[0] + 1.0) * (bb[3] - bb[1] + 1.0)
+           + (BBGT[:, 2] - BBGT[:, 0] + 1.0) * (BBGT[:, 3] - BBGT[:, 1] + 1.0)
+           - inters)
+    return inters / uni
+
+
+def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
+                   ovthresh=0.5, use_07_metric=True, score_thresh=0.5):
+    """Evaluate one class.
+
+    Args:
+      dets_per_image: {imagename: [N_i, 5] array (x1,y1,x2,y2,score)} in
+        ORIGINAL (1-based-written, here 0-based) image coordinates.  To match
+        the reference exactly we add the +1 the results-file writer applies
+        (bus.py:258-261) — GT boxes come from the raw XML (1-based).
+      gt_per_image: {imagename: [M_i, 4] array of this class's GT boxes from
+        the XML (1-based), difficult excluded upstream}.
+    Returns the reference's 8-tuple
+      (rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img).
+    """
+    # flatten + sort by confidence (voc_eval_bus.py:149-158)
+    image_ids, confidence, BB = [], [], []
+    for name in imagenames:
+        dets = dets_per_image.get(name)
+        if dets is None or len(dets) == 0:
+            continue
+        for row in dets:
+            image_ids.append(name)
+            confidence.append(float(row[4]))
+            BB.append([row[0] + 1, row[1] + 1, row[2] + 1, row[3] + 1])
+    npos = sum(len(gt_per_image[n]) for n in imagenames)
+
+    if not image_ids:
+        return -1, -1, -1, 0, 0, np.zeros((200,)), 0, [0] * len(imagenames)
+
+    confidence = np.array(confidence)
+    BB = np.array(BB, float)
+    sorted_ind = np.argsort(-confidence)
+    sorted_scores = np.sort(-confidence)
+    BB = BB[sorted_ind]
+    image_ids = [image_ids[i] for i in sorted_ind]
+
+    class_recs = {n: {"bbox": np.array(gt_per_image[n], float),
+                      "det": [False] * len(gt_per_image[n])}
+                  for n in imagenames}
+
+    # CorLoc (voc_eval_bus.py:160-206)
+    ni = nok = 0
+    arr_ok = np.zeros((max(200, len(imagenames)),))
+    ids_arr = np.array(image_ids)
+    for name in imagenames:
+        BBGT = class_recs[name]["bbox"]
+        if BBGT.shape[0] == 0:
+            continue
+        ni += 1
+        sel = (ids_arr == name) & (sorted_scores <= -score_thresh)
+        if not sel.any():
+            continue
+        bb = BB[sel]
+        bok = False
+        for j in range(BBGT.shape[0]):
+            overlaps = _iou_1_to_many_multi(bb, BBGT[j])
+            if np.max(overlaps) > ovthresh:
+                bok = True
+        if bok:
+            arr_ok[ni - 1] = True
+            nok += 1
+
+    # TP/FP sweep (voc_eval_bus.py:207-266)
+    nd = len(image_ids)
+    tp = np.zeros(nd)
+    fp = np.zeros(nd)
+    fp_froc = np.zeros(nd)
+    for d in range(nd):
+        R = class_recs[image_ids[d]]
+        bb = BB[d]
+        ovmax = -np.inf
+        BBGT = R["bbox"]
+        if BBGT.size > 0:
+            overlaps = _iou_1_to_many(bb, BBGT)
+            ovmax = np.max(overlaps)
+            jmax = np.argmax(overlaps)
+        if ovmax > ovthresh:
+            if not R["det"][jmax]:
+                tp[d] = 1.0
+                R["det"][jmax] = True
+            else:
+                fp[d] = 1.0
+        else:
+            fp[d] = 1.0
+        if sorted_scores[d] <= -score_thresh and ovmax <= ovthresh:
+            fp_froc[d] = 1.0
+
+    num_all_fps = int(np.sum(fp_froc))
+    per_img = OrderedDict((n, 0) for n in sorted(imagenames))
+    for d in range(nd):
+        if fp_froc[d]:
+            per_img[image_ids[d]] += 1
+    num_fp_per_img = list(per_img.values())
+
+    fp = np.cumsum(fp)
+    tp = np.cumsum(tp)
+    rec = tp / float(max(npos, 1))
+    prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    ap = voc_ap(rec, prec, use_07_metric)
+    return rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img
+
+
+def _iou_1_to_many_multi(bb_many, gt_one):
+    ixmin = np.maximum(bb_many[:, 0], gt_one[0])
+    iymin = np.maximum(bb_many[:, 1], gt_one[1])
+    ixmax = np.minimum(bb_many[:, 2], gt_one[2])
+    iymax = np.minimum(bb_many[:, 3], gt_one[3])
+    iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
+    ih = np.maximum(iymax - iymin + 1.0, 0.0)
+    inters = iw * ih
+    uni = ((gt_one[2] - gt_one[0] + 1.0) * (gt_one[3] - gt_one[1] + 1.0)
+           + (bb_many[:, 2] - bb_many[:, 0] + 1.0)
+           * (bb_many[:, 3] - bb_many[:, 1] + 1.0) - inters)
+    return inters / uni
+
+
+def _gt_for_class(imdb, classname):
+    """Per-image GT boxes of one class, straight from the XML (1-based),
+    difficult objects excluded (voc_eval_bus.py:130-141)."""
+    import xml.etree.ElementTree as ET
+
+    out = {}
+    for name in imdb.image_index[:imdb.num_images]:
+        path = os.path.join(imdb.data_dir, "Annotations", name + ".xml")
+        tree = ET.parse(path)
+        boxes = []
+        for obj in tree.findall("object"):
+            if obj.find("name").text != classname:
+                continue
+            if int(obj.find("difficult").text) != 0:
+                continue
+            bb = obj.find("bndbox")
+            boxes.append([int(bb.find("xmin").text), int(bb.find("ymin").text),
+                          int(bb.find("xmax").text), int(bb.find("ymax").text)])
+        out[name] = np.array(boxes).reshape(-1, 4)
+    return out
+
+
+def evaluate_bus_detections(imdb, all_boxes, output_dir):
+    """AP / CorLoc / FROC over an all_boxes[cls][img] table
+    (bus.py:263-392 + evaluate_detections:409-420).
+
+    Returns the reference's corloc_list: [corloc_benign, corloc_malignant,
+    corloc_overall] (or per-class FP counts for the *_normal split).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    imagenames = imdb.image_index[:imdb.num_images]
+    log_path = os.path.join(output_dir, "eval.txt")
+    f_log = open(log_path, "w")
+
+    def dets_for_class(ci):
+        return {name: np.asarray(all_boxes[ci][i]).reshape(-1, 5)
+                for i, name in enumerate(imagenames)}
+
+    if "test_normal" in imdb.name:
+        per_img_total = None
+        for ci, cls in enumerate(imdb.classes):
+            if cls == "__background__":
+                continue
+            *_, num_fp_per_img = voc_eval_class(
+                dets_for_class(ci), _gt_for_class(imdb, cls), imagenames,
+                score_thresh=0.5)
+            arr = np.array(num_fp_per_img)
+            per_img_total = arr if per_img_total is None else per_img_total + arr
+        f_log.write(f"Number of all FPs = {int(per_img_total.sum())}\n")
+        f_log.close()
+        np.save(os.path.join(output_dir, "num_fp_per_img"), per_img_total)
+        return [int(per_img_total.sum())]
+
+    aps, nis, noks, corloc_list = [], [], [], []
+    all_arr_ok = np.zeros((0,))
+    for ci, cls in enumerate(imdb.classes):
+        if cls == "__background__":
+            continue
+        rec, prec, ap, ni, nok, arr_ok, _, _ = voc_eval_class(
+            dets_for_class(ci), _gt_for_class(imdb, cls), imagenames,
+            score_thresh=0.5)
+        aps.append(ap)
+        nis.append(ni)
+        noks.append(nok)
+        corloc = float(nok) / ni if ni else 0.0
+        corloc_list.append(corloc)
+        f_log.write(f"AP for {cls} = {ap:.4f}\n")
+        f_log.write(f"CorLoc for {cls} = {corloc:.4f}\n")
+        all_arr_ok = np.concatenate((all_arr_ok, arr_ok))
+    mean_ap = float(np.mean(aps))
+    overall = float(np.sum(noks)) / max(np.sum(nis), 1)
+    corloc_list.append(overall)
+    f_log.write(f"Mean AP = {mean_ap:.4f}\n")
+    f_log.write(f"CorLoc = {overall:.4f}\n")
+
+    # FROC curves (bus.py:366-390)
+    curve_pts = [[], [], []]  # [all, benign, malignant]
+    for thr in np.arange(1.0, -0.01, -0.05):
+        for ci, cls in enumerate(imdb.classes):
+            if cls == "__background__":
+                continue
+            _, _, _, ni, nok, _, num_all_fps, _ = voc_eval_class(
+                dets_for_class(ci), _gt_for_class(imdb, cls), imagenames,
+                score_thresh=thr)
+            curve_pts[ci].append((float(num_all_fps) / max(ni, 1),
+                                  float(nok) / max(ni, 1)))
+    for i in range(len(curve_pts[1])):
+        curve_pts[0].append(((curve_pts[1][i][0] + curve_pts[2][i][0]) / 2,
+                             (curve_pts[1][i][1] + curve_pts[2][i][1]) / 2))
+    f_log.write(str(curve_pts))
+    f_log.close()
+    np.save(os.path.join(output_dir, "froc_curve_pts"),
+            np.array(curve_pts, dtype=object), allow_pickle=True)
+    np.save(os.path.join(output_dir, "all_arr_ok"), all_arr_ok)
+    return corloc_list

@@ -1,0 +1,405 @@
+"""Jitted train / eval / inference steps.
+
+This is the TPU-native replacement for the reference's TF1 graph + ``sess.run``
+hot loop (``/root/reference/code/lib/fast_rcnn/train_bus.py:595-957`` combined,
+``:175-592`` alternating): each step below traces the ENTIRE pipeline —
+backbone, RPN, anchor targets, proposals (with NMS), ROI sampling, ROI
+pooling, heads, all losses, and the optimizer update — into one XLA program.
+The reference bounces GPU->CPU->GPU three times per step through ``tf.py_func``
+detection ops; here there are zero host round-trips.
+
+Gradient combination note: the reference computes gradients of the supervised
+loss and the MIL loss separately and adds them (train_bus.py:701-705).  Both
+use the same variables, so this equals one ``jax.grad`` of their sum, which is
+what we take.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.mil import get_bag_logits
+from wssdl_bus_tpu.models.detector import FasterRCNN, rpn_softmax
+from wssdl_bus_tpu.ops.anchor_target import anchor_target_layer_joint
+from wssdl_bus_tpu.ops.anchors import shifted_anchors
+from wssdl_bus_tpu.ops.proposal import proposal_layer
+from wssdl_bus_tpu.ops.proposal_target import proposal_target_layer
+from wssdl_bus_tpu.ops.roi_pool import roi_pool
+from wssdl_bus_tpu.train import losses as L
+
+
+class StepLosses(NamedTuple):
+    total: jnp.ndarray
+    rpn_cls: jnp.ndarray
+    rpn_box: jnp.ndarray
+    rcnn_cls: jnp.ndarray
+    rcnn_box: jnp.ndarray
+    mil_cls: jnp.ndarray
+
+
+def _rois5(boxes, first_index=0):
+    """[B, P, 4] -> [B*P, 5] with batch indices (proposal_layer_tf_bus
+    blob format)."""
+    b, p, _ = boxes.shape
+    idx = jnp.broadcast_to(
+        jnp.arange(first_index, first_index + b, dtype=boxes.dtype)[:, None],
+        (b, p))
+    return jnp.concatenate([idx[..., None], boxes], axis=-1).reshape(b * p, 5)
+
+
+def make_optimizer(opt_name: str, cfg: Config, param_mask=None):
+    """adam(eps=0.1) / amsgrad(eps=0.1) / nesterov-sgd (train_bus.py:694-699),
+    with an injected learning rate so LR schedules run host-side like the
+    reference's feed_dict lr (train_bus.py:122-123)."""
+    def factory(learning_rate):
+        if opt_name == "adam":
+            inner = optax.adam(learning_rate, eps=0.1)
+        elif opt_name == "amsgrad":
+            inner = optax.amsgrad(learning_rate, b2=0.999, eps=0.1)
+        elif opt_name == "sgd":
+            inner = optax.sgd(learning_rate, momentum=cfg.TRAIN.MOMENTUM,
+                              nesterov=True)
+        else:
+            raise NotImplementedError(opt_name)
+        if param_mask is not None:
+            frozen = jax.tree_util.tree_map(lambda m: not m, param_mask)
+            inner = optax.chain(optax.masked(optax.set_to_zero(), frozen),
+                                inner)
+        return inner
+
+    return optax.inject_hyperparams(factory)(
+        learning_rate=cfg.TRAIN.LEARNING_RATE)
+
+
+def vgg_frozen_mask(params) -> dict:
+    """True = trainable.  VGG conv1/conv2 are frozen
+    (VGGnet_train_bus.py:45-49, trainable=False)."""
+    def mask_path(path):
+        names = [p.key for p in path if hasattr(p, "key")]
+        return not any(n.startswith(("conv1_", "conv2_")) for n in names)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: mask_path(path), params)
+
+
+class Engine:
+    """Builds and caches the jitted step functions for one model + canvas."""
+
+    def __init__(self, model: FasterRCNN, cfg: Config, canvas_hw,
+                 num_supervised: int = None, num_ws: int = None,
+                 dataset: str = "SNUBH", opt_name: str = "adam",
+                 selector_pair=("mal_max", "mal_max")):
+        self.model = model
+        self.cfg = cfg
+        self.canvas_hw = canvas_hw
+        self.n_s = cfg.TRAIN.IMS_PER_BATCH if num_supervised is None \
+            else num_supervised
+        self.n_ws = cfg.TRAIN.WS_IMS_PER_BATCH if num_ws is None else num_ws
+        self.dataset = dataset
+        self.opt_name = opt_name
+        self.selector_pair = selector_pair
+
+        fh, fw = canvas_hw[0] // cfg.FEAT_STRIDE, canvas_hw[1] // cfg.FEAT_STRIDE
+        self.anchors = jnp.asarray(shifted_anchors(
+            fh, fw, cfg.FEAT_STRIDE, cfg.ANCHOR_RATIOS, cfg.ANCHOR_SCALES))
+        self.num_anchors = len(cfg.ANCHOR_RATIOS) * len(cfg.ANCHOR_SCALES)
+
+    # ------------------------------------------------------------------ #
+    def init(self, rng):
+        variables = self.model.init_variables(rng, self.canvas_hw)
+        params = {"trunk": variables["trunk"]["params"],
+                  "head": variables["head"]["params"]}
+        if self.model.backbone == "VGGnet":
+            mask = vgg_frozen_mask(params)
+        else:
+            mask = jax.tree_util.tree_map(lambda _: True, params)
+        self.tx = make_optimizer(self.opt_name, self.cfg, mask)
+        opt_state = self.tx.init(params)
+        return variables, opt_state
+
+    def _split_vars(self, variables, params):
+        tv = dict(variables["trunk"])
+        hv = dict(variables["head"])
+        tv["params"] = params["trunk"]
+        hv["params"] = params["head"]
+        return {"trunk": tv, "head": hv}
+
+    # ------------------------------------------------------------------ #
+    # Forward pieces shared by train/eval
+    # ------------------------------------------------------------------ #
+    def _forward_train(self, params, variables, batch, key, step):
+        cfg = self.cfg
+        n_s, n_ws = self.n_s, self.n_ws
+        var = self._split_vars(variables, params)
+        k_at, k_pt, k_drop = jax.random.split(key, 3)
+
+        feat, rpn_score, rpn_bbox, bs_trunk = self.model.apply_trunk(
+            var, batch["data"], train=True)
+        rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
+
+        at = anchor_target_layer_joint(
+            k_at, batch["gt_boxes"], batch["num_gt_boxes"], batch["im_info"],
+            self.anchors, num_supervised=n_s, dataset=self.dataset,
+            rpn_batchsize=cfg.TRAIN.RPN_BATCHSIZE,
+            rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
+            pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
+            neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
+            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES)
+
+        props = proposal_layer(
+            jax.lax.stop_gradient(rpn_prob),
+            jax.lax.stop_gradient(rpn_bbox),
+            batch["im_info"], self.anchors, num_anchors=self.num_anchors,
+            pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
+            min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
+
+        samples = proposal_target_layer(
+            k_pt, props.boxes[:n_s], props.valid[:n_s],
+            batch["gt_boxes"][:n_s], batch["num_gt_boxes"][:n_s],
+            num_classes=self.model.num_classes,
+            rois_per_image=cfg.TRAIN.BATCH_SIZE,
+            fg_fraction=cfg.TRAIN.FG_FRACTION,
+            fg_thresh=cfg.TRAIN.FG_THRESH,
+            bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
+            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO, include_gt=True)
+
+        sup_rois = _rois5(samples.rois, 0)
+        if n_ws:
+            ws_rois = _rois5(props.boxes[n_s:], n_s)
+            rois_all = jnp.concatenate([sup_rois, ws_rois], axis=0)
+        else:
+            rois_all = sup_rois
+
+        pooled = roi_pool(feat, rois_all, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+        cls_score, bbox_pred, bs_head = self.model.apply_head(
+            var, pooled, train=True, dropout_rng=k_drop)
+
+        bs_updates = {"trunk": bs_trunk, "head": bs_head}
+        return (feat, rpn_score, rpn_bbox, at, props, samples, rois_all,
+                cls_score, bbox_pred, bs_updates)
+
+    def _losses(self, rpn_score, rpn_bbox, at, props, samples, cls_score,
+                bbox_pred, batch, step, with_mil=True):
+        cfg = self.cfg
+        n_s, n_ws = self.n_s, self.n_ws
+        r = cfg.TRAIN.BATCH_SIZE
+
+        rpn_cls = L.rpn_class_loss(rpn_score, at.labels, self.num_anchors)
+        rpn_box = L.rpn_box_loss(rpn_bbox, at.bbox_targets, at.inside_weights,
+                                 at.outside_weights, n_s, self.num_anchors)
+
+        sup_scores = cls_score[:n_s * r].reshape(n_s, r, -1)
+        labels = samples.labels
+        rcnn_cls = L.rcnn_class_loss(sup_scores.reshape(-1, sup_scores.shape[-1]),
+                                     labels.reshape(-1))
+        sup_bbox = bbox_pred[:n_s * r].reshape(n_s, r, -1)
+        rcnn_box = L.rcnn_box_loss(sup_bbox.reshape(n_s * r, -1),
+                                   samples.bbox_targets.reshape(n_s * r, -1),
+                                   samples.inside_weights.reshape(n_s * r, -1),
+                                   samples.outside_weights.reshape(n_s * r, -1),
+                                   labels.reshape(-1))
+
+        if with_mil and n_ws:
+            p = cfg.TRAIN.RPN_POST_NMS_TOP_N
+            ws_scores = cls_score[n_s * r:].reshape(n_ws, p, -1)
+            bag_labels = batch["im_info"][n_s:, 3].astype(jnp.int32)
+            bag_logits = get_bag_logits(ws_scores, props.valid[n_s:],
+                                        bag_labels, self.selector_pair)
+            if cfg.TRAIN.WS_LOSS_USE_ADAPTIVE_SCALE_FACTOR:
+                scale = L.mil_adaptive_scale(step)
+            else:
+                scale = cfg.TRAIN.WS_LOSS_SCALE_FACTOR
+            mil = L.mil_class_loss(bag_logits, bag_labels,
+                                   cfg.TRAIN.WS_MAL_PCT, scale)
+        else:
+            mil = jnp.float32(0.0)
+
+        total = rpn_cls + rpn_box + rcnn_cls + rcnn_box
+        return StepLosses(total, rpn_cls, rpn_box, rcnn_cls, rcnn_box, mil)
+
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, variables, opt_state, batch, key, lr, step):
+        """One combined SGD update (train_model, train_bus.py:595-764)."""
+        cfg = self.cfg
+
+        def loss_fn(params):
+            (feat, rpn_score, rpn_bbox, at, props, samples, rois_all,
+             cls_score, bbox_pred, bs_updates) = self._forward_train(
+                 params, variables, batch, key, step)
+            ls = self._losses(rpn_score, rpn_bbox, at, props, samples,
+                              cls_score, bbox_pred, batch, step)
+            wd = L.weight_decay_loss(params, cfg.TRAIN.WEIGHT_DECAY)
+            # grads of (supervised + wd) + grads of mil == grad of the sum
+            return ls.total + wd + ls.mil_cls, (ls, bs_updates)
+
+        params = {"trunk": variables["trunk"]["params"],
+                  "head": variables["head"]["params"]}
+        grads, (ls, bs_updates) = jax.grad(loss_fn, has_aux=True)(params)
+
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        new_vars = {}
+        for part in ("trunk", "head"):
+            v = dict(variables[part])
+            v["params"] = params[part]
+            if bs_updates[part]:
+                v["batch_stats"] = bs_updates[part]
+            new_vars[part] = v
+        return new_vars, opt_state, ls
+
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step_mil(self, variables, opt_state, batch, key, lr, step):
+        """One weakly-supervised SGD update for the ALTERNATING regime:
+        only the MIL bag loss is optimized (train_bus.py:298-301,368-394).
+        BN running stats are NOT updated (the reference's update ops only run
+        with the supervised step, train_bus.py:357-361 vs :391-394)."""
+        cfg = self.cfg
+
+        def loss_fn(params):
+            var = self._split_vars(variables, params)
+            feat, rpn_score, rpn_bbox, _ = self.model.apply_trunk(
+                var, batch["data"], train=True)
+            rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
+            props = proposal_layer(
+                jax.lax.stop_gradient(rpn_prob),
+                jax.lax.stop_gradient(rpn_bbox),
+                batch["im_info"], self.anchors, num_anchors=self.num_anchors,
+                pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+                post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
+                nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
+                min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
+            rois = _rois5(props.boxes, 0)
+            pooled = roi_pool(feat, rois, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+            cls_score, _, _ = self.model.apply_head(
+                var, pooled, train=True, dropout_rng=key)
+            b = batch["data"].shape[0]
+            p = cfg.TRAIN.RPN_POST_NMS_TOP_N
+            ws_scores = cls_score.reshape(b, p, -1)
+            bag_labels = batch["im_info"][:, 3].astype(jnp.int32)
+            bag_logits = get_bag_logits(ws_scores, props.valid, bag_labels,
+                                        self.selector_pair)
+            if cfg.TRAIN.WS_LOSS_USE_ADAPTIVE_SCALE_FACTOR:
+                scale = L.mil_adaptive_scale(step)
+            else:
+                scale = cfg.TRAIN.WS_LOSS_SCALE_FACTOR
+            return L.mil_class_loss(bag_logits, bag_labels,
+                                    cfg.TRAIN.WS_MAL_PCT, scale)
+
+        params = {"trunk": variables["trunk"]["params"],
+                  "head": variables["head"]["params"]}
+        mil, grads = jax.value_and_grad(loss_fn)(params)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = {}
+        for part in ("trunk", "head"):
+            v = dict(variables[part])
+            v["params"] = params[part]
+            new_vars[part] = v
+        return new_vars, opt_state, mil
+
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, variables, batch, key):
+        """In-training evaluation forward (reference call stack 3.4): the
+        training pipeline with is_training=False — TEST proposal budgets,
+        no GT appended to candidates, running BN stats, no dropout — losses
+        plus detection outputs from the SAMPLED rois (train_bus.py:792-892)."""
+        cfg = self.cfg
+        n_s = batch["data"].shape[0]
+        params = {"trunk": variables["trunk"]["params"],
+                  "head": variables["head"]["params"]}
+        var = self._split_vars(variables, params)
+        k_at, k_pt = jax.random.split(key)
+
+        feat, rpn_score, rpn_bbox, _ = self.model.apply_trunk(
+            var, batch["data"], train=False)
+        rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
+
+        at = anchor_target_layer_joint(
+            k_at, batch["gt_boxes"], batch["num_gt_boxes"], batch["im_info"],
+            self.anchors, num_supervised=n_s, dataset=self.dataset,
+            rpn_batchsize=cfg.TRAIN.RPN_BATCHSIZE,
+            rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
+            pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
+            neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
+            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES)
+
+        props = proposal_layer(
+            rpn_prob, rpn_bbox, batch["im_info"], self.anchors,
+            num_anchors=self.num_anchors,
+            pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+            min_size=float(cfg.TEST.RPN_MIN_SIZE))
+
+        samples = proposal_target_layer(
+            k_pt, props.boxes, props.valid, batch["gt_boxes"],
+            batch["num_gt_boxes"], num_classes=self.model.num_classes,
+            rois_per_image=cfg.TRAIN.BATCH_SIZE,
+            fg_fraction=cfg.TRAIN.FG_FRACTION,
+            fg_thresh=cfg.TRAIN.FG_THRESH,
+            bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
+            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
+            include_gt=False)  # is_training=False skips the GT append
+
+        rois_all = _rois5(samples.rois, 0)
+        pooled = roi_pool(feat, rois_all, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+        cls_score, bbox_pred, _ = self.model.apply_head(var, pooled,
+                                                        train=False)
+
+        r = cfg.TRAIN.BATCH_SIZE
+        rpn_cls = L.rpn_class_loss(rpn_score, at.labels, self.num_anchors)
+        rpn_box = L.rpn_box_loss(rpn_bbox, at.bbox_targets, at.inside_weights,
+                                 at.outside_weights, n_s, self.num_anchors)
+        rcnn_cls = L.rcnn_class_loss(cls_score, samples.labels.reshape(-1))
+        rcnn_box = L.rcnn_box_loss(bbox_pred,
+                                   samples.bbox_targets.reshape(n_s * r, -1),
+                                   samples.inside_weights.reshape(n_s * r, -1),
+                                   samples.outside_weights.reshape(n_s * r, -1),
+                                   samples.labels.reshape(-1))
+        ls = StepLosses(rpn_cls + rpn_box + rcnn_cls + rcnn_box,
+                        rpn_cls, rpn_box, rcnn_cls, rcnn_box, jnp.float32(0.0))
+        cls_prob = jax.nn.softmax(cls_score, axis=-1)
+        return ls, rois_all, cls_prob, bbox_pred, samples.labels.reshape(-1)
+
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnums=(0,))
+    def inference_step(self, variables, data, im_info):
+        """Pure test-graph forward (VGGnet_test_bus.py:23-69 /
+        test_bus.py:146-240): proposals with TEST budgets feed the head
+        directly; returns (rois5, valid, cls_score, cls_prob, bbox_pred)."""
+        cfg = self.cfg
+        params = {"trunk": variables["trunk"]["params"],
+                  "head": variables["head"]["params"]}
+        var = self._split_vars(variables, params)
+
+        feat, rpn_score, rpn_bbox, _ = self.model.apply_trunk(
+            var, data, train=False)
+        rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
+        props = proposal_layer(
+            rpn_prob, rpn_bbox, im_info, self.anchors,
+            num_anchors=self.num_anchors,
+            pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+            min_size=float(cfg.TEST.RPN_MIN_SIZE))
+        rois = _rois5(props.boxes, 0)
+        pooled = roi_pool(feat, rois, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+        cls_score, bbox_pred, _ = self.model.apply_head(var, pooled,
+                                                        train=False)
+        cls_prob = jax.nn.softmax(cls_score, axis=-1)
+        return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred

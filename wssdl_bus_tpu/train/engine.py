@@ -134,6 +134,12 @@ class Engine:
     # ------------------------------------------------------------------ #
     # Forward pieces shared by train/eval
     # ------------------------------------------------------------------ #
+    def _apply_head(self, var, pooled, train, dropout_rng=None):
+        """Head application hook; ParallelEngine overrides this with a
+        tensor-parallel head when the mesh has a model axis."""
+        return self.model.apply_head(var, pooled, train=train,
+                                     dropout_rng=dropout_rng)
+
     def _forward_train(self, params, variables, batch, key, step):
         cfg = self.cfg
         n_s, n_ws = self.n_s, self.n_ws
@@ -180,7 +186,7 @@ class Engine:
             rois_all = sup_rois
 
         pooled = roi_pool(feat, rois_all, 7, 7, 1.0 / cfg.FEAT_STRIDE)
-        cls_score, bbox_pred, bs_head = self.model.apply_head(
+        cls_score, bbox_pred, bs_head = self._apply_head(
             var, pooled, train=True, dropout_rng=k_drop)
 
         bs_updates = {"trunk": bs_trunk, "head": bs_head}
@@ -283,8 +289,8 @@ class Engine:
                 min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
             rois = _rois5(props.boxes, 0)
             pooled = roi_pool(feat, rois, 7, 7, 1.0 / cfg.FEAT_STRIDE)
-            cls_score, _, _ = self.model.apply_head(
-                var, pooled, train=True, dropout_rng=key)
+            cls_score, _, _ = self._apply_head(var, pooled, train=True,
+                                               dropout_rng=key)
             b = batch["data"].shape[0]
             p = cfg.TRAIN.RPN_POST_NMS_TOP_N
             ws_scores = cls_score.reshape(b, p, -1)
@@ -358,8 +364,7 @@ class Engine:
 
         rois_all = _rois5(samples.rois, 0)
         pooled = roi_pool(feat, rois_all, 7, 7, 1.0 / cfg.FEAT_STRIDE)
-        cls_score, bbox_pred, _ = self.model.apply_head(var, pooled,
-                                                        train=False)
+        cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
 
         r = cfg.TRAIN.BATCH_SIZE
         rpn_cls = L.rpn_class_loss(rpn_score, at.labels, self.num_anchors)
@@ -377,8 +382,7 @@ class Engine:
         return ls, rois_all, cls_prob, bbox_pred, samples.labels.reshape(-1)
 
     # ------------------------------------------------------------------ #
-    @partial(jax.jit, static_argnums=(0,))
-    def inference_step(self, variables, data, im_info):
+    def _inference_impl(self, variables, data, im_info):
         """Pure test-graph forward (VGGnet_test_bus.py:23-69 /
         test_bus.py:146-240): proposals with TEST budgets feed the head
         directly; returns (rois5, valid, cls_score, cls_prob, bbox_pred)."""
@@ -399,7 +403,10 @@ class Engine:
             min_size=float(cfg.TEST.RPN_MIN_SIZE))
         rois = _rois5(props.boxes, 0)
         pooled = roi_pool(feat, rois, 7, 7, 1.0 / cfg.FEAT_STRIDE)
-        cls_score, bbox_pred, _ = self.model.apply_head(var, pooled,
-                                                        train=False)
+        cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred
+
+    @partial(jax.jit, static_argnums=(0,))
+    def inference_step(self, variables, data, im_info):
+        return self._inference_impl(variables, data, im_info)

@@ -1,0 +1,88 @@
+"""Benchmark: detection throughput of the flagship VGG16 Faster R-CNN on the
+default accelerator (one TPU chip under the driver).
+
+Matches the reference's inference configuration (test_bus.py im_detect:
+single image, shortest side 600, TEST proposal budgets 6000 pre-NMS / 300
+post-NMS, NMS 0.7 — reference config.py:231,257-265) so images/sec is
+apples-to-apples with the reference's per-image ``im_detect`` loop
+(test_bus.py:404-406).
+
+Baseline: the reference publishes no numbers (BASELINE.md).  The recorded
+baseline below is OUR measured CPU throughput of the same jitted pipeline on
+this host (the "CPU-reference images/sec" of BASELINE.json) — measured with
+``python bench.py --cpu`` and pinned here so the TPU run reports a stable
+ratio.  Target from BASELINE.json: vs_baseline >= 10.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Measured on this host with `python bench.py --cpu` (single process,
+# default threading): jitted full-pipeline inference, canvas 608x800.
+CPU_BASELINE_IMAGES_PER_SEC = 0.18
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="measure the CPU baseline instead of the accelerator")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from wssdl_bus_tpu.config import Config
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.engine import Engine
+
+    cfg = Config()
+    canvas = (608, 800)
+    model = build_detector("VGGnet_train", num_classes=3)
+    eng = Engine(model, cfg, canvas)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(3)
+    data = rng.rand(1, canvas[0], canvas[1], 3).astype(np.float32)
+    im_info = np.array([[canvas[0], canvas[1], 1.0, 0.0]], np.float32)
+
+    out = eng.inference_step(variables, data, im_info)
+    jax.block_until_ready(out)
+
+    iters = max(1, args.iters if not args.cpu else max(3, args.iters // 6))
+    for _ in range(args.warmup):
+        jax.block_until_ready(eng.inference_step(variables, data, im_info))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eng.inference_step(variables, data, im_info)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = iters / dt
+    platform = jax.devices()[0].platform
+    if args.cpu:
+        print(f"# CPU baseline: {ips:.3f} images/sec "
+              f"({dt / iters * 1e3:.1f} ms/image) — pin this into "
+              f"CPU_BASELINE_IMAGES_PER_SEC", file=sys.stderr)
+    result = {
+        "metric": f"vgg16_frcnn_inference_images_per_sec_{platform}",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

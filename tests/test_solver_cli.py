@@ -1,0 +1,80 @@
+"""End-to-end CLI tests on the 5 bundled SNUBH sample images: a short
+combined training run (with in-loop eval + snapshot), then the test CLI
+restoring the snapshot and evaluating — the reference's own overfit-run
+defaults (train.py:40-42) at a reduced scale for CPU speed."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SMALL_CFGS = [
+    "TRAIN.SCALES", "(150,)", "TRAIN.MAX_SIZE", "250",
+    "TEST.SCALES", "(150,)", "TEST.MAX_SIZE", "250",
+    "TRAIN.RPN_PRE_NMS_TOP_N", "300", "TRAIN.RPN_POST_NMS_TOP_N", "64",
+    "TRAIN.BATCH_SIZE", "32", "TRAIN.RPN_BATCHSIZE", "64",
+    "TEST.RPN_PRE_NMS_TOP_N", "200", "TEST.RPN_POST_NMS_TOP_N", "32",
+    "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "2",
+    "TRAIN.DISPLAY", "1",
+]
+
+DATA = "/root/reference/SNUBH_BUS"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="SNUBH_BUS samples not present")
+
+
+def run_cli(main_fn, argv):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main_fn()
+    finally:
+        sys.argv = old
+
+
+def test_train_then_test_cli(tmp_path):
+    out = str(tmp_path / "run")
+    from wssdl_bus_tpu.main.train import main as train_main
+    run_cli(train_main, [
+        "train.py", "--max_iters", "2", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch",
+        "--set_cfgs", *SMALL_CFGS])
+
+    # artifacts: snapshot dir, log.txt, in-loop eval outputs
+    snaps = [d for d in os.listdir(out) if "_iter_" in d]
+    assert snaps, os.listdir(out)
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    test_dir = os.path.join(out, "test")
+    assert os.path.exists(os.path.join(test_dir, "detections.pkl"))
+    assert os.path.exists(os.path.join(test_dir, "eval.txt"))
+    assert os.path.exists(os.path.join(test_dir, "froc_curve_pts.npy"))
+
+    ckpt = os.path.join(out, sorted(snaps)[-1])
+    from wssdl_bus_tpu.main.test import main as test_main
+    out2 = str(tmp_path / "eval")
+    run_cli(test_main, [
+        "test.py", "--model", ckpt, "--output_dir", out2,
+        "--data_dir", DATA,
+        "--set_cfgs", *SMALL_CFGS])
+    assert os.path.exists(os.path.join(out2, "detections.pkl"))
+    assert os.path.exists(os.path.join(out2, "eval.txt"))
+    # eval.txt must contain AP + CorLoc lines for both classes
+    txt = open(os.path.join(out2, "eval.txt")).read()
+    for needle in ("AP for benign", "AP for malignant", "CorLoc for benign",
+                   "Mean AP", "CorLoc ="):
+        assert needle in txt, txt
+
+
+def test_train_alter_cli(tmp_path):
+    out = str(tmp_path / "alter")
+    from wssdl_bus_tpu.main.train_alter import main as alter_main
+    run_cli(alter_main, [
+        "train_alter.py", "--max_iters", "2", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch",
+        "--s_start_iter", "0", "--s_end_iter", "2",
+        "--ws_start_iter", "0", "--ws_end_iter", "2",
+        "--set_cfgs", *SMALL_CFGS])
+    assert any("_iter_" in d for d in os.listdir(out))
+    assert os.path.exists(os.path.join(out, "test", "eval.txt"))

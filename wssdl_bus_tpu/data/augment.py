@@ -27,7 +27,12 @@ from wssdl_bus_tpu.config import Config
 
 
 def resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Bilinear resize of a single-channel float image via PIL."""
+    """Bilinear resize of a single-channel float image (native C++ kernel
+    when built, PIL otherwise — same half-pixel-center convention)."""
+    from wssdl_bus_tpu import native
+    out = native.resize_bilinear(im, out_h, out_w)
+    if out is not None:
+        return out
     pil = Image.fromarray(im.astype(np.float32), mode="F")
     return np.asarray(pil.resize((out_w, out_h), Image.BILINEAR))
 
@@ -49,8 +54,13 @@ def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
     if is_ws and is_training:
         if t.USE_ROTATION:
             angle = rng.uniform(-t.ROTATION_MAX_ANGLE, t.ROTATION_MAX_ANGLE)
-            im = ndimage.rotate(im, angle, reshape=False, order=1,
-                                mode="constant", cval=cfg.PIXEL_MEAN / 255.0)
+            from wssdl_bus_tpu import native
+            rotated = native.rotate_bilinear(im, angle, cfg.PIXEL_MEAN / 255.0)
+            if rotated is not None:
+                im = rotated
+            else:
+                im = ndimage.rotate(im, angle, reshape=False, order=1,
+                                    mode="constant", cval=cfg.PIXEL_MEAN / 255.0)
         if t.USE_CROPPING:
             mh = t.CROPPING_MAX_MARGIN * im.shape[0]
             mw = t.CROPPING_MAX_MARGIN * im.shape[1]

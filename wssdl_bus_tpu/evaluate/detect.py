@@ -1,0 +1,179 @@
+"""Inference pipeline: ``im_detect`` + ``test_net``.
+
+Re-implements the reference's ``test_bus.py`` (``/root/reference/code/lib/
+fast_rcnn/test_bus.py:28-430``):
+
+  * ``_get_image_blob`` (:48-76): resize shortest side to TEST.SCALES[0]=600
+    capped at 1000, mean-subtract, VGG x255 / ResNet /std scaling — all shared
+    with the training path via ``data.augment.prep_image``;
+  * ``im_detect`` (:146-240): one device forward, then box decode
+    (``bbox_transform_inv``) + clip on the host, coordinates divided by
+    im_scale back to original pixels;
+  * ``test_net`` (:300-413): per-class score threshold 0.05, per-class NMS
+    0.3 (optionally class-agnostic), cap of ``max_per_image=300`` detections
+    per image, ``detections.pkl`` dump, then ``imdb.evaluate_detections``.
+
+TPU-specific notes: images are packed into a static canvas so the jitted
+forward compiles once per dataset (padding is zeros == pixel mean after mean
+subtraction); proposals are produced as a fixed top-N with a validity mask,
+filtered on the host before NMS.  Per-class NMS over <=300 final boxes is
+host-side numpy, same as the reference's Cython path.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from wssdl_bus_tpu.data.augment import prep_image
+from wssdl_bus_tpu.utils.timer import Timer
+
+
+def nms_numpy(dets: np.ndarray, thresh: float) -> list:
+    """Greedy IoU NMS, identical to the reference Cython kernel
+    (``nms/cpu_nms.pyx:17-68``, +1 pixel area convention).  Dispatches to the
+    native C++ kernel (native/wssdl_native.cc) when built, like the
+    reference's nms_wrapper.py dispatch."""
+    if len(dets) == 0:
+        return []
+    order0 = dets[:, 4].argsort()[::-1]
+    from wssdl_bus_tpu import native
+    kept = native.nms(dets[order0], thresh)
+    if kept is not None:
+        return [int(order0[i]) for i in kept]
+    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][ovr <= thresh]
+    return keep
+
+
+def get_image_blob(im: np.ndarray, net_name: str, cfg, canvas_hw):
+    """Single test image -> (padded [1,Hc,Wc,3] blob, im_scale, (h', w'))."""
+    rng = np.random.RandomState(0)  # unused: single test scale
+    prepared, im_scale = prep_image(im, net_name, cfg, is_training=False,
+                                    is_ws=False, rng=rng)
+    h, w = prepared.shape
+    blob = np.zeros((1, canvas_hw[0], canvas_hw[1], 3), np.float32)
+    blob[0, :h, :w, :] = prepared[:, :, None]
+    return blob, im_scale, (h, w)
+
+
+def im_detect(eng, variables, im: np.ndarray, net_name: str,
+              canvas_hw) -> tuple:
+    """-> (scores [N, C], pred_boxes [N, 4C]) in ORIGINAL image coords
+    (test_bus.py:146-240)."""
+    from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+
+    cfg = eng.cfg
+    blob, im_scale, (h, w) = get_image_blob(im, net_name, cfg, canvas_hw)
+    im_info = np.array([[h, w, im_scale, 0.0]], np.float32)
+
+    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
+        variables, blob, im_info)
+    rois = np.asarray(rois)
+    valid = np.asarray(valid).astype(bool)
+    cls_prob = np.asarray(cls_prob)[valid]
+    bbox_pred = np.asarray(bbox_pred)[valid]
+    boxes = rois[valid, 1:5] / im_scale
+
+    if cfg.TEST.BBOX_REG:
+        # decode per-class deltas against the (unscaled) proposal boxes and
+        # clip to the ORIGINAL image extent (test_bus.py:214-223)
+        pred = np.asarray(bbox_transform_inv(boxes, bbox_pred))
+        pred = np.asarray(clip_boxes(pred.reshape(-1, 4),
+                                     im.shape[0], im.shape[1]))
+        pred_boxes = pred.reshape(len(boxes), -1)
+    else:
+        pred_boxes = np.tile(boxes, (1, cls_prob.shape[1]))
+    return cls_prob, pred_boxes
+
+
+def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
+                        cls_agnostic=False):
+    """-> dets_per_class[list of [n_j, 5]] for classes 1..C-1
+    (test_bus.py:341-386)."""
+    out = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    if cls_agnostic:
+        # suppress across classes using each box's best non-bg class
+        best_cls = np.argmax(scores[:, 1:], axis=1) + 1
+        best_score = scores[np.arange(len(scores)), best_cls]
+        keep0 = np.where(best_score > thresh)[0]
+        sel_boxes = np.stack([boxes[i, 4 * c:4 * c + 4]
+                              for i, c in zip(keep0, best_cls[keep0])]) \
+            if len(keep0) else np.zeros((0, 4), np.float32)
+        dets = np.hstack([sel_boxes, best_score[keep0, None]]) \
+            .astype(np.float32)
+        keep = nms_numpy(dets, nms_thresh)
+        for n, i in enumerate(keep0[keep]):
+            j = best_cls[i]
+            out[j] = np.vstack([out[j], dets[keep[n]]])
+        return out
+    for j in range(1, num_classes):
+        inds = np.where(scores[:, j] > thresh)[0]
+        cls_boxes = boxes[inds, j * 4:(j + 1) * 4]
+        cls_scores = scores[inds, j]
+        dets = np.hstack([cls_boxes, cls_scores[:, None]]).astype(np.float32)
+        keep = nms_numpy(dets, nms_thresh)
+        out[j] = dets[keep]
+    return out
+
+
+def test_net(eng, variables, imdb, output_dir: str, net_name: str,
+             canvas_hw, max_per_image: int = 300, thresh: float = 0.05,
+             verbose: bool = True):
+    """Detect over an imdb and evaluate (test_bus.py:300-413).
+
+    Returns (all_boxes, eval result from imdb.evaluate_detections)."""
+    num_images = imdb.num_images
+    num_classes = imdb.num_classes
+    all_boxes = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+    os.makedirs(output_dir, exist_ok=True)
+    t_det, t_misc = Timer(), Timer()
+
+    for i in range(num_images):
+        im = imdb.read_image(i)
+        t_det.tic()
+        scores, boxes = im_detect(eng, variables, im, net_name, canvas_hw)
+        t_det.toc()
+
+        t_misc.tic()
+        per_class = apply_nms_per_class(
+            scores, boxes, num_classes, thresh, eng.cfg.TEST.NMS,
+            cls_agnostic=eng.cfg.TEST.CLS_AGNOSTIC_NMS)
+        for j in range(1, num_classes):
+            all_boxes[j][i] = per_class[j]
+        # cap total detections per image (test_bus.py:393-401)
+        if max_per_image > 0:
+            image_scores = np.hstack([all_boxes[j][i][:, -1]
+                                      for j in range(1, num_classes)])
+            if len(image_scores) > max_per_image:
+                image_thresh = np.sort(image_scores)[-max_per_image]
+                for j in range(1, num_classes):
+                    keep = np.where(all_boxes[j][i][:, -1] >= image_thresh)[0]
+                    all_boxes[j][i] = all_boxes[j][i][keep]
+        t_misc.toc()
+        if verbose:
+            print(f"im_detect: {i + 1:d}/{num_images:d} "
+                  f"{t_det.average_time:.3f}s {t_misc.average_time:.3f}s")
+
+    with open(os.path.join(output_dir, "detections.pkl"), "wb") as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+
+    result = imdb.evaluate_detections(all_boxes, output_dir)
+    return all_boxes, result

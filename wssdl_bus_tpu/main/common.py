@@ -1,0 +1,84 @@
+"""Shared CLI plumbing for the train / train_alter / test entry points
+(mirrors ``/root/reference/code/main/train.py:18-48`` arguments)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.data.augment import max_canvas
+from wssdl_bus_tpu.data.dataset import get_imdb, get_training_roidb, \
+    prepare_roidb
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--network", default="VGGnet_train", type=str,
+                        help="name of the network "
+                             "(VGGnet_train / Resnet_train / *_test)")
+    parser.add_argument("--net_depth", default=18, type=int,
+                        help="ResNet depth (18, 34, 50, 101)")
+    parser.add_argument("--dataset", default="SNUBH", type=str,
+                        help="dataset mode (SNUBH / SNUBH_FG / UDIAT)")
+    parser.add_argument("--norm_type", default="BN", type=str,
+                        help="normalization type (BN / GN)")
+    parser.add_argument("--data_dir", default="/root/reference/SNUBH_BUS",
+                        type=str, help="SNUBH_BUS dataset root")
+    parser.add_argument("--set_cfgs", default=None, nargs=argparse.REMAINDER,
+                        help="override config keys, e.g. "
+                             "TRAIN.SNAPSHOT_ITERS 100")
+    parser.add_argument("--cfg", default=None, type=str,
+                        help="optional YAML config override file")
+    parser.add_argument("--randomize", action="store_true",
+                        help="do not fix the random seed")
+    parser.add_argument("--output_dir", default="./trained_model/run",
+                        type=str)
+
+
+def add_train_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--max_iters", default=60000, type=int)
+    parser.add_argument("--s_start_iter", default=0, type=int)
+    parser.add_argument("--s_end_iter", default=60000, type=int)
+    parser.add_argument("--ws_start_iter", default=0, type=int)
+    parser.add_argument("--ws_end_iter", default=60000, type=int)
+    parser.add_argument("--pretrained_model", default=None, type=str,
+                        help="path to an ImageNet .npy weight dict")
+    parser.add_argument("--opt", default="adam", type=str,
+                        help="adam / amsgrad / sgd")
+    parser.add_argument("--lr", default=5e-4, type=float)
+    parser.add_argument("--lr_scheduling", default="const", type=str,
+                        help="const / pc / rop")
+    parser.add_argument("--imdb_train_s", default="bus_test", type=str)
+    parser.add_argument("--imdb_train_ws", default="bus_test", type=str)
+    parser.add_argument("--imdb_test", default="bus_test", type=str)
+    parser.add_argument("--no_prefetch", action="store_true")
+
+
+def build_config(args) -> Config:
+    cfg = Config.from_yaml(args.cfg) if args.cfg else Config()
+    if args.set_cfgs:
+        cfg = cfg.with_overrides(args.set_cfgs)
+    if hasattr(args, "lr"):
+        cfg = cfg.with_overrides(["TRAIN.LEARNING_RATE", str(args.lr)])
+    return cfg
+
+
+def load_train_data(args, cfg: Config):
+    """-> (roidb_s, roidb_ws, imdb_test, roidb_test, canvas_hw)."""
+    imdb_s = get_imdb(args.imdb_train_s, args.data_dir)
+    roidb_s = get_training_roidb(imdb_s, use_flipped=cfg.TRAIN.USE_FLIPPED)
+    imdb_ws = get_imdb(args.imdb_train_ws, args.data_dir)
+    roidb_ws = get_training_roidb(imdb_ws, use_flipped=cfg.TRAIN.USE_FLIPPED)
+    imdb_test = get_imdb(args.imdb_test, args.data_dir)
+    roidb_test = prepare_roidb(imdb_test)
+
+    sizes = [(e["height"], e["width"])
+             for e in roidb_s + roidb_ws + roidb_test]
+    canvas = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE)
+    return roidb_s, roidb_ws, imdb_test, roidb_test, canvas
+
+
+def seed_all(args, cfg: Config):
+    if not args.randomize:
+        np.random.seed(cfg.RNG_SEED)

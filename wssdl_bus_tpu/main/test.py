@@ -1,0 +1,59 @@
+"""Inference / evaluation CLI (reference ``code/main/test.py``)."""
+
+from __future__ import annotations
+
+import argparse
+import pprint
+
+import numpy as np
+
+from wssdl_bus_tpu.main.common import add_common_args, build_config, seed_all
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Test a Faster R-CNN network")
+    parser.add_argument("--model", required=True, type=str,
+                        help="snapshot directory written by training")
+    parser.add_argument("--imdb_test", default="bus_test", type=str)
+    parser.add_argument("--comp_mode", action="store_true",
+                        help="competition mode (kept for CLI parity)")
+    add_common_args(parser)
+    args = parser.parse_args()
+    print("Called with args:")
+    print(args)
+
+    cfg = build_config(args)
+    print("Using config:")
+    pprint.pprint(cfg)
+    seed_all(args, cfg)
+
+    from wssdl_bus_tpu.data.augment import max_canvas
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+    from wssdl_bus_tpu.evaluate.detect import test_net
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.checkpoint import load_checkpoint
+    from wssdl_bus_tpu.train.engine import Engine
+
+    imdb = get_imdb(args.imdb_test, args.data_dir)
+    roidb = prepare_roidb(imdb)
+    sizes = [(e["height"], e["width"]) for e in roidb]
+    canvas = max_canvas(sizes, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+    print(f"static canvas: {canvas}")
+
+    import jax
+
+    model = build_detector(args.network, args.net_depth, args.norm_type,
+                           num_classes=3)
+    eng = Engine(model, cfg, canvas, dataset=args.dataset)
+    variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
+    variables, step = load_checkpoint(args.model, variables)
+    print(f"restored snapshot at iter {step} from {args.model}")
+
+    _, result = test_net(eng, variables, imdb, args.output_dir, args.network,
+                         canvas)
+    print("evaluation result:", np.asarray(result))
+
+
+if __name__ == "__main__":
+    main()

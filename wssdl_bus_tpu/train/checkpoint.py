@@ -1,0 +1,67 @@
+"""Checkpointing via orbax.
+
+The reference snapshots TF ``.ckpt`` files every SNAPSHOT_ITERS and at the
+end of training (train_bus.py:131-173,788-790,954-955), named
+``<prefix><infix>_fast_rcnn_iter_N.ckpt``; checkpoints are consumed only by
+test.py (no mid-training resume exists there).  Here we keep the naming
+convention, save the full train state (variables + optimizer + step), and
+ADD a resume path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def _ckpt_dir(output_dir: str, prefix: str, infix: str, step: int) -> str:
+    return os.path.join(os.path.abspath(output_dir),
+                        f"{prefix}{infix}_iter_{step}")
+
+
+def save_checkpoint(output_dir: str, prefix: str, infix: str, step: int,
+                    variables, opt_state) -> str:
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_dir(output_dir, prefix, infix, step)
+    ckptr = ocp.StandardCheckpointer()
+    state = {"variables": variables,
+             "step": np.asarray(step, dtype=np.int64)}
+    ckptr.save(os.path.join(path, "variables"), state, force=True)
+    if opt_state is not None:
+        ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, variables_like, opt_state_like=None):
+    """Restore (variables, step[, opt_state]) from a snapshot directory."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tmpl = {"variables": variables_like, "step": np.asarray(0, dtype=np.int64)}
+    state = ckptr.restore(os.path.join(os.path.abspath(path), "variables"),
+                          tmpl)
+    out = [state["variables"], int(state["step"])]
+    if opt_state_like is not None:
+        out.append(ckptr.restore(
+            os.path.join(os.path.abspath(path), "opt_state"), opt_state_like))
+    return tuple(out)
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    if not os.path.isdir(output_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(output_dir):
+        if "_iter_" not in name:
+            continue
+        try:
+            step = int(name.rsplit("_iter_", 1)[1])
+        except ValueError:
+            continue
+        if step > best_step and os.path.isdir(os.path.join(output_dir, name)):
+            best, best_step = os.path.join(output_dir, name), step
+    return best

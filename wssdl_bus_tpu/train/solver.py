@@ -1,0 +1,302 @@
+"""The solver: training loops with periodic in-training evaluation.
+
+TPU-native re-design of ``SolverWrapper`` (``/root/reference/code/lib/
+fast_rcnn/train_bus.py:96-957``):
+
+  * ``train_combined``    — joint supervised+weak minibatches, one fused SGD
+    update per iteration (train_model, :595-957);
+  * ``train_alternating`` — separate supervised / weak SGD steps with two
+    independent optimizer states (train_model_alter, :175-592);
+  * periodic in-loop evaluation over the whole test set using the TRAINING
+    pipeline at is_training=False (losses + detections from the sampled ROIs,
+    NMS, CorLoc/AP eval — :792-892), which also drives the 'rop' LR schedule;
+  * snapshots every SNAPSHOT_ITERS + at the end (orbax, train/checkpoint.py);
+  * stdout/log.txt/TensorBoard observability with the reference's cadence
+    (DISPLAY / TEST_ITERS) and tag names (:901-948).
+
+Differences by design: losses never leave the device mid-step; the data layer
+prefetches on a host thread; LR is resolved host-side and passed as a scalar.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.data.loader import (Prefetcher, RoIDataLayer,
+                                       RoIDataLayerJoint)
+from wssdl_bus_tpu.data.minibatch import get_minibatch
+from wssdl_bus_tpu.evaluate.detect import apply_nms_per_class
+from wssdl_bus_tpu.train.checkpoint import save_checkpoint
+from wssdl_bus_tpu.train.engine import Engine
+from wssdl_bus_tpu.train.schedules import build_schedule
+from wssdl_bus_tpu.utils import MetricLogger, Timer
+
+LOSS_NAMES = ("total", "rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box", "mil_cls")
+
+
+class Solver:
+    """Drives one training run (one model, one canvas, one output dir)."""
+
+    def __init__(self, engine: Engine, cfg: Config, net_name: str,
+                 roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
+                 output_dir: str, lr_scheduling: str = "const",
+                 max_iters: int = 60000, pretrained: Optional[str] = None,
+                 use_prefetch: bool = True, seed: Optional[int] = None):
+        self.eng = engine
+        self.cfg = cfg
+        self.net_name = net_name
+        self.roidb_train_s = roidb_train_s
+        self.roidb_train_ws = roidb_train_ws
+        self.imdb_test = imdb_test
+        self.roidb_test = roidb_test
+        self.output_dir = output_dir
+        self.max_iters = max_iters
+        self.use_prefetch = use_prefetch
+        os.makedirs(output_dir, exist_ok=True)
+        self.logger = MetricLogger(output_dir)
+        self.schedule = build_schedule(lr_scheduling, cfg.TRAIN.LEARNING_RATE,
+                                       max_iters)
+        self.rng = np.random.RandomState(
+            cfg.RNG_SEED if seed is None else seed)
+        self.key = jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed)
+
+        self.variables, self.opt_state = self.eng.init(
+            jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed))
+        if pretrained:
+            from wssdl_bus_tpu.models.pretrained import load_pretrained_npy
+            self.variables = load_pretrained_npy(
+                pretrained, self.variables, self.eng.model.backbone,
+                verbose=True)
+
+    # ------------------------------------------------------------------ #
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def snapshot(self, step: int):
+        t = self.cfg.TRAIN
+        path = save_checkpoint(self.output_dir, t.SNAPSHOT_PREFIX,
+                               t.SNAPSHOT_INFIX, step + 1,
+                               self.variables, self.opt_state)
+        print(f"Wrote snapshot to: {path}")
+
+    # ------------------------------------------------------------------ #
+    def _display(self, it: int, loss_vals):
+        print(f"iter: {it + 1} / {self.max_iters}")
+        print(f"total_loss: {loss_vals[0]:.4f}")
+        print("rpn_loss_cls: {:.4f}, rpn_loss_box: {:.4f}, loss_cls: {:.4f}, "
+              "loss_box: {:.4f}, mil_loss_cls: {:.4f}".format(*loss_vals[1:]))
+
+    def _losses_np(self, ls) -> np.ndarray:
+        v = [float(x) for x in ls]
+        # reference's training_loss[0] excludes the MIL term (:769-771)
+        total_wo_mil = v[1] + v[2] + v[3] + v[4]
+        return np.array([total_wo_mil, v[1], v[2], v[3], v[4], v[5]])
+
+    # ------------------------------------------------------------------ #
+    def periodic_eval(self, it: int, cur_lr: float, training_loss,
+                      test_loss_logs):
+        """Full test-set pass with the training pipeline at
+        is_training=False; returns averaged test losses (train_bus.py:792-892).
+        """
+        cfg = self.cfg
+        len_test = len(self.roidb_test)
+        num_classes = self.imdb_test.num_classes
+        all_boxes = [[[] for _ in range(len_test)]
+                     for _ in range(num_classes)]
+        test_loss = np.zeros((6,))
+        test_dir = os.path.join(self.output_dir, "test")
+        os.makedirs(test_dir, exist_ok=True)
+
+        for idx in range(len_test):
+            blobs = get_minibatch([self.roidb_test[idx]], self.net_name, cfg,
+                                  self.eng.canvas_hw, is_training=False,
+                                  is_ws=False, rng=self.rng)
+            ls, rois, cls_prob, bbox_pred, _ = self.eng.eval_step(
+                self.variables, {k: jnp.asarray(v) for k, v in blobs.items()},
+                self._next_key())
+            v = self._losses_np(ls)
+            test_loss += v
+
+            from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+            im_h, im_w = self.roidb_test[idx]["height"], \
+                self.roidb_test[idx]["width"]
+            scale = blobs["im_info"][0, 2]
+            boxes = np.asarray(rois)[:, 1:5] / scale
+            pred = np.asarray(clip_boxes(
+                np.asarray(bbox_transform_inv(boxes, np.asarray(bbox_pred)))
+                .reshape(-1, 4), im_h, im_w)).reshape(len(boxes), -1)
+            per_class = apply_nms_per_class(
+                np.asarray(cls_prob), pred, num_classes, 0.05, cfg.TEST.NMS,
+                cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
+            for j in range(1, num_classes):
+                all_boxes[j][idx] = per_class[j]
+
+        with open(os.path.join(test_dir, "detections.pkl"), "wb") as f:
+            pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+        print("Evaluating detections")
+        corloc_list = self.imdb_test.evaluate_detections(
+            all_boxes, test_dir, f"{it + 1}")
+
+        training_loss /= cfg.TRAIN.TEST_ITERS
+        test_loss /= max(len_test, 1)
+        test_loss_logs.append(float(test_loss[0]))
+        self.schedule.on_val_end(test_loss_logs)
+
+        scalars = {f"training_loss_{n}": training_loss[i]
+                   for i, n in enumerate(
+                       ("total", "rpn_loss_cls", "rpn_loss_box", "loss_cls",
+                        "loss_box", "mil_loss_cls"))}
+        scalars.update({f"test_loss_{n}": test_loss[i]
+                        for i, n in enumerate(
+                            ("total", "rpn_loss_cls", "rpn_loss_box",
+                             "loss_cls", "loss_box", "mil_loss_cls"))})
+        if len(corloc_list) >= 3:
+            scalars["corloc_benign"] = corloc_list[0]
+            scalars["corloc_malignant"] = corloc_list[1]
+            scalars["corloc"] = corloc_list[2]
+        scalars["lr"] = cur_lr
+        self.logger.scalars(it + 1, **scalars)
+        self.logger.flush()
+
+        self.logger.text(f"iter: {it + 1} / {self.max_iters}")
+        self.logger.text(f"training loss\ntotal_loss: {training_loss[0]}")
+        self.logger.text(
+            f"rpn_loss_cls: {training_loss[1]}\trpn_loss_box: "
+            f"{training_loss[2]}\tloss_cls: {training_loss[3]}\tloss_box: "
+            f"{training_loss[4]}\nmil_loss_cls: {training_loss[5]}")
+        self.logger.text(f"test loss\ntotal_loss: {test_loss[0]}")
+        self.logger.text(
+            f"rpn_loss_cls: {test_loss[1]}\trpn_loss_box: {test_loss[2]}\t"
+            f"loss_cls: {test_loss[3]}\tloss_box: {test_loss[4]}\n"
+            f"mil_loss_cls: {test_loss[5]}")
+        self.logger.text(f"lr: {cur_lr}")
+        return test_loss
+
+    # ------------------------------------------------------------------ #
+    def train_combined(self):
+        """The combined-minibatch regime (train_model, train_bus.py:595-957)."""
+        cfg = self.cfg
+        layer = RoIDataLayerJoint(self.roidb_train_s, self.roidb_train_ws,
+                                  self.net_name, cfg, self.eng.canvas_hw,
+                                  rng=self.rng)
+        if self.use_prefetch:
+            layer = Prefetcher(layer)
+        timer = Timer()
+        training_loss = np.zeros((6,))
+        test_loss_logs = []
+        last_snapshot_iter = -1
+
+        for it in range(self.max_iters):
+            timer.tic()
+            blobs = layer.forward()
+            cur_lr = self.schedule(it)
+            self.variables, self.opt_state, ls = self.eng.train_step(
+                self.variables, self.opt_state,
+                {k: jnp.asarray(v) for k, v in blobs.items()},
+                self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
+            v = self._losses_np(ls)
+            timer.toc()
+            training_loss += v
+
+            if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+                self._display(it, v)
+                print(f"speed: {timer.average_time:.3f}s / iter")
+            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                last_snapshot_iter = it
+                self.snapshot(it)
+            if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
+                self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
+                training_loss = np.zeros((6,))
+
+        if last_snapshot_iter != self.max_iters - 1:
+            self.snapshot(self.max_iters - 1)
+        if self.use_prefetch:
+            layer.close()
+        self.logger.close()
+
+    # ------------------------------------------------------------------ #
+    def train_alternating(self, s_start: int, s_end: int,
+                          ws_start: int, ws_end: int,
+                          eng_ws: Optional[Engine] = None):
+        """The alternating regime (train_model_alter, train_bus.py:175-592):
+        a supervised step when s_start <= it <= s_end, plus a weak MIL-only
+        step every WS_TRAIN_INTERVAL iters when ws_start <= it <= ws_end,
+        each with its OWN optimizer state (two optimizers, :286-301).
+
+        ``eng_ws``: engine compiled for the weak batch shape
+        (n_s=0, n_ws=WS_IMS_PER_BATCH); defaults to one built from self.eng
+        with the alternating MIL selector pair (:241-247).
+        """
+        cfg = self.cfg
+        if eng_ws is None:
+            eng_ws = Engine(self.eng.model, cfg, self.eng.canvas_hw,
+                            num_supervised=0,
+                            num_ws=cfg.TRAIN.WS_IMS_PER_BATCH,
+                            dataset=self.eng.dataset,
+                            opt_name=self.eng.opt_name,
+                            selector_pair=("mass_max", "mal_max"))
+            eng_ws.tx = self.eng.tx
+        params = {"trunk": self.variables["trunk"]["params"],
+                  "head": self.variables["head"]["params"]}
+        opt_state_ws = self.eng.tx.init(params)
+
+        layer_s = RoIDataLayer(self.roidb_train_s, self.net_name, cfg,
+                               self.eng.canvas_hw, is_training=True,
+                               is_ws=False, rng=self.rng)
+        layer_ws = RoIDataLayer(self.roidb_train_ws, self.net_name, cfg,
+                                self.eng.canvas_hw, is_training=True,
+                                is_ws=True, rng=self.rng)
+        if self.use_prefetch:
+            layer_s, layer_ws = Prefetcher(layer_s), Prefetcher(layer_ws)
+
+        timer = Timer()
+        training_loss = np.zeros((6,))
+        test_loss_logs = []
+        last_snapshot_iter = -1
+
+        for it in range(self.max_iters):
+            timer.tic()
+            cur_lr = self.schedule(it)
+            v = np.zeros((6,))
+            if s_start <= it <= s_end:
+                blobs = layer_s.forward()
+                self.variables, self.opt_state, ls = self.eng.train_step(
+                    self.variables, self.opt_state,
+                    {k: jnp.asarray(b) for k, b in blobs.items()},
+                    self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
+                v = self._losses_np(ls)
+            if (ws_start <= it <= ws_end
+                    and (it + 1) % cfg.TRAIN.WS_TRAIN_INTERVAL == 0):
+                blobs = layer_ws.forward()
+                self.variables, opt_state_ws, mil = eng_ws.train_step_mil(
+                    self.variables, opt_state_ws,
+                    {k: jnp.asarray(b) for k, b in blobs.items()},
+                    self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
+                v[5] = float(mil)
+            timer.toc()
+            training_loss += v
+
+            if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+                self._display(it, v)
+                print(f"speed: {timer.average_time:.3f}s / iter")
+            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                last_snapshot_iter = it
+                self.snapshot(it)
+            if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
+                self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
+                training_loss = np.zeros((6,))
+
+        if last_snapshot_iter != self.max_iters - 1:
+            self.snapshot(self.max_iters - 1)
+        if self.use_prefetch:
+            layer_s.close()
+            layer_ws.close()
+        self.logger.close()

@@ -133,8 +133,18 @@ class ConvBlock(nn.Module):
 
 
 class Fc(nn.Module):
-    """Dense layer flattening 4-D inputs in (C, H, W) order (network.py:326),
-    optional norm, optional relu (network.py:315-354)."""
+    """Dense layer flattening 4-D inputs, optional norm, optional relu
+    (network.py:315-354).
+
+    Flatten order: natural NHWC, NOT the reference's NCHW transpose
+    (network.py:326).  The transpose there exists only so Caffe-lineage
+    pretrained fc weights line up; the BUS heads are 512-wide while the
+    ImageNet fc6/fc7 are 4096-wide, so those weights are never loadable
+    anyway (network.load skips them) and the flatten order is just an input
+    permutation of a trained-from-scratch layer.  NHWC avoids a layout
+    change in front of every head matmul on TPU; ``models.pretrained``
+    permutes kernel rows in the (never-hit) case of a shape match.
+    """
 
     features: int
     norm: Optional[str] = None
@@ -145,7 +155,7 @@ class Fc(nn.Module):
     @nn.compact
     def __call__(self, x):
         if x.ndim == 4:
-            x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+            x = x.reshape(x.shape[0], -1)
         y = nn.Dense(self.features, use_bias=(self.norm is None),
                      kernel_init=trunc_init(self.init_std),
                      bias_init=nn.initializers.zeros,

@@ -12,6 +12,13 @@ so the mapping is scope -> the flax subtree of the same name; 'weights' maps
 to the conv/dense kernel and 'biases' to its bias.  TF conv kernels are
 [kh, kw, cin, cout] — identical to flax's layout, no transpose needed; dense
 kernels are [cin, cout] in both.
+
+Note: a dense kernel whose input comes from flattened conv features would
+need its rows permuted from the reference's (C, H, W) flatten order to our
+NHWC order (models/layers.py Fc docstring).  No such kernel is loadable in
+practice (the BUS heads are 512-wide vs ImageNet's 4096), so shape-mismatch
+skipping covers it; if a matching checkpoint ever appears, permute rows with
+``np.transpose(w.reshape(C, H, W, out), (1, 2, 0, 3)).reshape(-1, out)``.
 """
 
 from __future__ import annotations

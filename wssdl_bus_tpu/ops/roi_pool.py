@@ -18,11 +18,14 @@ Semantics reproduced bit-for-bit (see tests/oracles.py::roi_pool_oracle):
     backprop nothing.
 
 TPU formulation: the max over each bin's rectangular window is separable
-(rows then columns), and every bin spans at most ``H // pooled_h + 2`` rows
-(resp. columns) — a static bound — so the pool becomes two short accumulation
-loops over gathered rows/columns instead of a data-dependent window.  ROIs
-are processed in chunks via ``lax.map`` to bound the [chunk, Ph, W, C]
-intermediate.
+(rows then columns) and the FEATURE map is small (stride-16), so each stage
+is a single masked reduction over the full H (resp. W) axis — bin windows
+become [pooled, H] / [pooled, W] boolean masks and the pool is two
+``where + max`` reductions with NO sequential loops and no gathers, which XLA
+fuses into two dense VPU loop nests.  ROIs are processed in chunks via
+``lax.map`` to bound the [chunk, Ph, W, C] intermediate.  (An earlier
+formulation used per-bin ``fori_loop`` row gathers; it profiled at 50 ms for
+300 ROIs on a v5e chip vs ~2 ms for this one.)
 """
 
 from __future__ import annotations
@@ -38,25 +41,25 @@ def _round_half_up(x):
     return jnp.floor(x + 0.5)
 
 
-def _bin_edges(start_q, size_q, pooled, span, limit):
-    """Per-bin [pooled] start indices and counts along one axis.
+def _bin_masks(start_q, size_q, pooled, limit):
+    """Per-bin [pooled, limit] window masks along one axis.
 
     start_q/size_q: quantized roi start and (>=1) size, scalars.
-    Returns (starts [pooled] int32 clipped to [0, limit],
-             counts [pooled] int32, window row count per bin, <= span).
+    Bin edges replicate the reference exactly: the float edge is cast to int
+    BEFORE floor/ceil, so both edges truncate.
     """
     bin_size = size_q.astype(jnp.float32) / pooled
     p = jnp.arange(pooled, dtype=jnp.float32)
-    lo = (p * bin_size).astype(jnp.int32)          # trunc, matches int cast
-    hi = ((p + 1.0) * bin_size).astype(jnp.int32)  # trunc — ceil is a no-op
-    lo = jnp.clip(lo + start_q, 0, limit)
-    hi = jnp.clip(hi + start_q, 0, limit)
-    cnt = jnp.maximum(hi - lo, 0)
-    return lo, cnt
+    lo = (p * bin_size).astype(jnp.int32) + start_q         # trunc
+    hi = ((p + 1.0) * bin_size).astype(jnp.int32) + start_q  # trunc
+    lo = jnp.clip(lo, 0, limit)
+    hi = jnp.clip(hi, 0, limit)
+    idx = jnp.arange(limit)
+    mask = (idx[None, :] >= lo[:, None]) & (idx[None, :] < hi[:, None])
+    return mask, hi > lo
 
 
-def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale,
-                  span_h, span_w):
+def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale):
     """Pool ONE roi against the full [B, H, W, C] feature stack."""
     b_idx = roi[0].astype(jnp.int32)
     q = _round_half_up(roi[1:5] * spatial_scale).astype(jnp.int32)
@@ -67,34 +70,22 @@ def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale,
     _, h, w, c = feat.shape
     feat_b = jax.lax.dynamic_index_in_dim(feat, b_idx, axis=0, keepdims=False)
 
-    h_lo, h_cnt = _bin_edges(rsh, roi_h, pooled_h, span_h, h)
-    w_lo, w_cnt = _bin_edges(rsw, roi_w, pooled_w, span_w, w)
+    h_mask, h_ok = _bin_masks(rsh, roi_h, pooled_h, h)   # [Ph, H], [Ph]
+    w_mask, w_ok = _bin_masks(rsw, roi_w, pooled_w, w)   # [Pw, W], [Pw]
 
     neg_inf = jnp.asarray(-jnp.inf, feat.dtype)
 
-    # Row stage: [pooled_h, W, C] max over each bin's row window.
-    def row_step(m, acc):
-        idx = jnp.clip(h_lo + m, 0, h - 1)            # [pooled_h]
-        rows = jnp.take(feat_b, idx, axis=0)          # [pooled_h, W, C]
-        ok = (m < h_cnt)[:, None, None]
-        return jnp.maximum(acc, jnp.where(ok, rows, neg_inf))
-
-    rows0 = jnp.full((pooled_h, w, c), neg_inf, feat.dtype)
-    rows = jax.lax.fori_loop(0, span_h, row_step, rows0)
-
-    # Column stage: [pooled_h, pooled_w, C].
-    def col_step(m, acc):
-        idx = jnp.clip(w_lo + m, 0, w - 1)            # [pooled_w]
-        cols = jnp.take(rows, idx, axis=1)            # [pooled_h, pooled_w, C]
-        ok = (m < w_cnt)[None, :, None]
-        return jnp.maximum(acc, jnp.where(ok, cols, neg_inf))
-
-    out0 = jnp.full((pooled_h, pooled_w, c), neg_inf, feat.dtype)
-    out = jax.lax.fori_loop(0, span_w, col_step, out0)
+    # Row stage: [Ph, W, C] = max over each bin's row window (one fused
+    # masked reduction over H).
+    rows = jnp.max(
+        jnp.where(h_mask[:, :, None, None], feat_b[None], neg_inf), axis=1)
+    # Column stage: [Ph, Pw, C] = masked reduction over W.
+    out = jnp.max(
+        jnp.where(w_mask[None, :, :, None], rows[:, None], neg_inf), axis=2)
 
     # Empty bins (either axis) -> 0, like the reference's is_empty path.
-    empty = (h_cnt == 0)[:, None] | (w_cnt == 0)[None, :]
-    return jnp.where(empty[:, :, None] | jnp.isneginf(out), 0.0, out)
+    empty = (~h_ok)[:, None] | (~w_ok)[None, :]
+    return jnp.where(empty[:, :, None], 0.0, out)
 
 
 @partial(jax.jit, static_argnames=("pooled_h", "pooled_w", "spatial_scale",
@@ -112,18 +103,23 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
     Returns:
       [R, pooled_h, pooled_w, C].
     """
-    _, h, w, _ = feat.shape
-    span_h = h // pooled_h + 2
-    span_w = w // pooled_w + 2
     r = rois.shape[0]
+    # balance chunks so padding never exceeds num_chunks-1 rois
+    # (e.g. 300 rois with chunk=256 -> two chunks of 150, not 256+pad 212)
+    num_chunks = -(-r // chunk)
+    chunk = -(-r // num_chunks)
     pad = (-r) % chunk
     if pad:
         rois = jnp.concatenate(
             [rois, jnp.zeros((pad, 5), rois.dtype)], axis=0)
 
     fn = partial(_roi_pool_one, feat, pooled_h=pooled_h, pooled_w=pooled_w,
-                 spatial_scale=spatial_scale, span_h=span_h, span_w=span_w)
+                 spatial_scale=spatial_scale)
     chunked = rois.reshape(-1, chunk, 5)
-    out = jax.lax.map(lambda rs: jax.vmap(fn)(rs), chunked)
+    # remat: without it the VJP saves the [R, Ph, H, W, C] selection
+    # predicates as residuals (tens of GB at training ROI counts); with it
+    # the backward recomputes the masks and fuses into a streaming pass
+    pool_chunk = jax.checkpoint(lambda rs: jax.vmap(fn)(rs))
+    out = jax.lax.map(pool_chunk, chunked)
     out = out.reshape(-1, pooled_h, pooled_w, feat.shape[-1])
     return out[:r]

@@ -55,12 +55,12 @@ def tp_head_apply(head_params: dict, roi_feats: jnp.ndarray, *,
     ``head_params`` is the flax param subtree with fc6/fc7 already sharded
     per ``head_pspecs``.  Returns (cls_score, bbox_pred).
     """
-    # Flatten 4-D ROI features in (C, H, W) order — same convention as
-    # models.layers.Fc (the TF reference transposes NHWC->NCHW before
-    # reshaping, network.py:326).
+    # Flatten 4-D ROI features in natural NHWC order — must match
+    # models.layers.Fc so fc6 kernels are interchangeable between the flax
+    # head and this TP head.
     x = roi_feats
     if x.ndim == 4:
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1)
     x = _f_operator(x, axis)
 
     k6 = head_params["fc6"]["dense"]["kernel"]

@@ -111,12 +111,18 @@ def roi_pool_oracle(feat, rois, pooled_h, pooled_w, spatial_scale):
     B, H, W, C = feat.shape
     R = rois.shape[0]
     out = np.zeros((R, pooled_h, pooled_w, C), np.float32)
+
+    def c_round(x):
+        # C round(): half away from zero (Python round() is banker's and
+        # would give round(2.5) == 2, diverging from the reference kernel)
+        return int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5))
+
     for r in range(R):
         b = int(rois[r, 0])
-        rsw = int(round(rois[r, 1] * spatial_scale))
-        rsh = int(round(rois[r, 2] * spatial_scale))
-        rew = int(round(rois[r, 3] * spatial_scale))
-        reh = int(round(rois[r, 4] * spatial_scale))
+        rsw = c_round(rois[r, 1] * spatial_scale)
+        rsh = c_round(rois[r, 2] * spatial_scale)
+        rew = c_round(rois[r, 3] * spatial_scale)
+        reh = c_round(rois[r, 4] * spatial_scale)
         roi_w = max(rew - rsw + 1, 1)
         roi_h = max(reh - rsh + 1, 1)
         bin_h = roi_h / float(pooled_h)

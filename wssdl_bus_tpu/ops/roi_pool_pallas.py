@@ -1,0 +1,293 @@
+"""Pallas TPU kernel for ROI max pooling (forward + backward).
+
+The hot op of the detector: training pools ~4.1k ROIs/step (128 sampled ROIs
+per supervised image + 2000 proposals per weak image), inference 300/image.
+Semantics are the reference TF op's exactly (see ops/roi_pool.py docstring and
+``/root/reference/code/lib/roi_pooling_layer/roi_pooling_op.cc:141-196``):
+round-half-away ROI quantization, >=1x1 forcing, truncated bin edges, empty
+bins -> 0.  The backward routes each bin's WHOLE gradient to a single argmax
+cell like the reference's scatter (roi_pooling_op_gpu.cu.cc:113-190), where
+the pure-jit fallback's ``jnp.max`` VJP splits exact ties (see the tie-order
+note inside ``_bwd_kernel``).
+
+Kernel shape: per image, grid over (channel blocks x blocks of ROI_BLOCK
+rois); each channel block of the [H, W, C] feature map lives in VMEM (a
+stride-16 map slice is <= 4 MB); the pool is SEPARABLE — per roi, stage 1
+dynamic-slices each row-bin's [SPAN_H, W, C] H-window (Mosaic only allows
+unaligned dynamic slices on non-tiled axes) and max-reduces it into a
+[Ph, W, C] scratch, stage 2 reduces the scratch under each column-bin's
+full-W mask.  The backward mirrors the two stages with first-occurrence
+argmax routing and accumulates into a VMEM-resident dfeat across the
+sequential grid, one [SPAN_H, W, C] update per (roi, row-bin).
+
+Measured on one v5e chip at training shapes (2 images x 2000 rois, C=512,
+38x50 features): forward 15.5 ms vs 145 ms for the jit fallback; fwd+bwd
+38 ms vs 458 ms.  Full train step 644 -> 100 ms/iter.
+
+Use ``roi_pool_grouped`` below: it dispatches to this kernel on TPU and to
+the jit fallback elsewhere (tests compare both against the numpy oracle).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROI_BLOCK = 8
+
+
+def _bin_window(coord_lo, size, pooled, k, limit, span):
+    """Scalar bin-k window along one axis: (start, lo, hi) ints with
+    lo/hi the true truncated bin edges clipped to [0, limit] and start the
+    slice origin such that [start, start+span) covers [lo, hi)."""
+    bs = size.astype(jnp.float32) / pooled
+    lo = (k.astype(jnp.float32) * bs).astype(jnp.int32) + coord_lo
+    hi = ((k.astype(jnp.float32) + 1.0) * bs).astype(jnp.int32) + coord_lo
+    lo = jnp.clip(lo, 0, limit)
+    hi = jnp.clip(hi, 0, limit)
+    start = jnp.clip(lo, 0, limit - span)
+    return start, lo, hi
+
+
+def _quantize(rois_ref, r, spatial_scale):
+    """ROI row r -> quantized (rsw, rsh, roi_w, roi_h) scalars."""
+    def q(v):
+        return jnp.floor(v * spatial_scale + 0.5).astype(jnp.int32)
+
+    rsw = q(rois_ref[r, 0])
+    rsh = q(rois_ref[r, 1])
+    rew = q(rois_ref[r, 2])
+    reh = q(rois_ref[r, 3])
+    roi_w = jnp.maximum(rew - rsw + 1, 1)
+    roi_h = jnp.maximum(reh - rsh + 1, 1)
+    return rsw, rsh, roi_w, roi_h
+
+
+def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
+                spatial_scale, span_h, span_w):
+    """Separable pool: per roi, stage 1 reduces each row-bin's [span_h, W, C]
+    H-slice into rows_ref [Ph, W, C] (dynamic slicing only along H — Mosaic
+    forbids unaligned dynamic slices on the sublane/W axis), stage 2 reduces
+    rows under each column-bin's full-W mask."""
+    h, w, c = feat_ref.shape
+    # 32-bit arithmetic masking throughout: Mosaic cannot broadcast 8-bit
+    # (bool) values across an inserted minor dim, so validity enters as f32
+    # 0/1 factors with a -1e30 "masked" sentinel instead of jnp.where(-inf)
+    iota_sh = jax.lax.broadcasted_iota(jnp.int32, (span_h, 1, 1), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, w, 1), 1)
+    big = jnp.float32(1e30)
+
+    def roi_body(r, _):
+        rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
+        for i in range(pooled_h):
+            sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
+                                         jnp.int32(i), h, span_h)
+            win = feat_ref[pl.ds(sh, span_h), :, :]
+            hv = ((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h)) \
+                .astype(jnp.float32)
+            ne_h = (hi_h > lo_h).astype(jnp.float32)   # scalar 0/1
+            # empty h-bin -> whole row zeroed (-1e30 * 0), matching the
+            # reference's empty-bin-outputs-0 path
+            rows_ref[i] = jnp.max(win * hv - (1.0 - hv) * big, axis=0) * ne_h
+        rows = rows_ref[:]                                   # [Ph, W, C]
+        for j in range(pooled_w):
+            _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
+                                        jnp.int32(j), w, span_w)
+            wv = ((iota_w >= lo_w) & (iota_w < hi_w)).astype(jnp.float32)
+            ne_w = (hi_w > lo_w).astype(jnp.float32)
+            m = jnp.max(rows * wv - (1.0 - wv) * big, axis=1)  # [Ph, C]
+            out_ref[pl.ds(r, 1), :, j, :] = (m * ne_w)[None]
+        return 0
+
+    jax.lax.fori_loop(0, ROI_BLOCK, roi_body, 0)
+
+
+def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
+                spatial_scale, span_h, span_w):
+    h, w, c = feat_ref.shape
+
+    # zero this channel-block's dfeat at the first ROI block (grid is
+    # (channel_blocks, roi_blocks), roi dim iterates fastest)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+
+    iota_sh = jax.lax.broadcasted_iota(jnp.int32, (span_h, 1, 1), 0)
+    iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    big = jnp.float32(1e30)
+
+    def roi_body(r, _):
+        rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
+        for i in range(pooled_h):
+            sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
+                                         jnp.int32(i), h, span_h)
+            # one [span_h, W, C] H-slice per row-bin (dynamic slicing only
+            # along H); f32 masks — see the forward kernel note on 8-bit
+            # broadcasts.  The scatter is SEPARABLE, mirroring the forward:
+            # stage-2 routes each bin's grad to the first w whose column max
+            # equals the bin max, stage-1 routes each column's grad to the
+            # first h attaining the column max.  This places every bin's
+            # gradient on exactly ONE max cell like the reference's argmax
+            # scatter; only on exact f32 ties does the chosen cell differ
+            # (w-major vs the reference's h-major scan) — and tied maxima
+            # are post-ReLU zeros in practice, where the gradient dies in
+            # the ReLU backward regardless of placement.
+            win = feat_ref[pl.ds(sh, span_h), :, :]
+            hv = ((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h)) \
+                .astype(jnp.float32)
+            masked_win = win * hv - (1.0 - hv) * big
+            rows_i = jnp.max(masked_win, axis=0)             # [W, C]
+            g_rows = jnp.zeros((w, c), jnp.float32)
+            for j in range(pooled_w):
+                _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
+                                            jnp.int32(j), w, span_w)
+                wv = ((iota_w2 >= lo_w) & (iota_w2 < hi_w)) \
+                    .astype(jnp.float32)                     # [W, 1]
+                masked_rows = rows_i * wv - (1.0 - wv) * big
+                m = jnp.max(masked_rows, axis=0)             # [C]
+                am_w = jnp.argmax(
+                    (masked_rows == m[None, :]).astype(jnp.float32),
+                    axis=0)
+                ne = ((hi_h > lo_h) & (hi_w > lo_w)).astype(jnp.float32)
+                g = g_ref[r, i, j, :] * ne                   # [C]
+                onehot_w = (iota_w2 == am_w[None, :]).astype(jnp.float32)
+                g_rows = g_rows + onehot_w * g[None, :]
+            am_h = jnp.argmax(
+                (masked_win == rows_i[None]).astype(jnp.float32), axis=0)
+            onehot_h = (iota_sh == am_h[None]).astype(jnp.float32)
+            dfeat_ref[pl.ds(sh, span_h), :, :] += onehot_h * g_rows[None]
+        return 0
+
+    jax.lax.fori_loop(0, ROI_BLOCK, roi_body, 0)
+
+
+def _spans(h, w, pooled_h, pooled_w):
+    return h // pooled_h + 2, w // pooled_w + 2
+
+
+def _pad_rois(rois):
+    p = rois.shape[0]
+    pad = (-p) % ROI_BLOCK
+    if pad:
+        rois = jnp.concatenate([rois, jnp.zeros((pad, 4), rois.dtype)], 0)
+    return rois, p
+
+
+def _c_block(c: int) -> int:
+    """Channel blocking keeps feat (+ dfeat in the backward) within VMEM for
+    wide backbones (ResNet bottleneck C=1024)."""
+    return min(c, 512)
+
+
+def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
+    h, w, c = feat.shape
+    span_h, span_w = _spans(h, w, pooled_h, pooled_w)
+    cb = _c_block(c)
+    rois_p, p = _pad_rois(rois)
+    grid = (c // cb, rois_p.shape[0] // ROI_BLOCK)
+    out = pl.pallas_call(
+        partial(_fwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
+                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w),
+        out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], pooled_h, pooled_w,
+                                        c), feat.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROI_BLOCK, 4), lambda ci, k: (k, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, w, cb), lambda ci, k: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROI_BLOCK, pooled_h, pooled_w, cb),
+                               lambda ci, k: (k, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((pooled_h, w, cb), feat.dtype)],
+        interpret=interpret,
+    )(rois_p, feat)
+    return out[:p]
+
+
+def _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale, interpret):
+    h, w, c = feat.shape
+    span_h, span_w = _spans(h, w, pooled_h, pooled_w)
+    cb = _c_block(c)
+    rois_p, p = _pad_rois(rois)
+    pad = rois_p.shape[0] - p
+    if pad:
+        g = jnp.concatenate(
+            [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], 0)
+    grid = (c // cb, rois_p.shape[0] // ROI_BLOCK)
+    dfeat = pl.pallas_call(
+        partial(_bwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
+                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w),
+        out_shape=jax.ShapeDtypeStruct((h, w, c), feat.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROI_BLOCK, 4), lambda ci, k: (k, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, w, cb), lambda ci, k: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROI_BLOCK, pooled_h, pooled_w, cb),
+                         lambda ci, k: (k, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, w, cb), lambda ci, k: (0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rois_p, feat, g)
+    return dfeat
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def roi_pool_image(feat, rois, pooled_h=7, pooled_w=7,
+                   spatial_scale=1.0 / 16.0, interpret=False):
+    """ROI max pooling for ONE image: [H, W, C] x [P, 4] -> [P, Ph, Pw, C]."""
+    return _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret)
+
+
+def _vjp_fwd(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
+    out = _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret)
+    return out, (feat, rois)
+
+
+def _vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, res, g):
+    feat, rois = res
+    dfeat = _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale,
+                      interpret)
+    return dfeat, None
+
+
+roi_pool_image.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def roi_pool_grouped(feat: jnp.ndarray, rois: jnp.ndarray,
+                     pooled_h: int = 7, pooled_w: int = 7,
+                     spatial_scale: float = 1.0 / 16.0,
+                     force_fallback: bool = False) -> jnp.ndarray:
+    """Batched ROI pooling with per-image roi groups.
+
+    Args:
+      feat: [B, H, W, C]; rois: [B, P, 4] boxes in input-image coordinates
+        (each roi pools against its own image's features).
+    Returns [B, P, Ph, Pw, C].
+
+    Dispatches to the Pallas kernel on TPU; elsewhere (CPU tests, debugging)
+    falls back to the jit formulation in ops/roi_pool.py via batch-indexed
+    5-col rois.
+    """
+    b, p, _ = rois.shape
+    if force_fallback or jax.default_backend() != "tpu":
+        from wssdl_bus_tpu.ops.roi_pool import roi_pool
+
+        idx = jnp.broadcast_to(
+            jnp.arange(b, dtype=rois.dtype)[:, None], (b, p))
+        rois5 = jnp.concatenate([idx[..., None], rois], -1).reshape(b * p, 5)
+        out = roi_pool(feat, rois5, pooled_h, pooled_w, spatial_scale)
+        return out.reshape(b, p, pooled_h, pooled_w, feat.shape[-1])
+    fn = partial(roi_pool_image, pooled_h=pooled_h, pooled_w=pooled_w,
+                 spatial_scale=spatial_scale)
+    return jax.vmap(fn)(feat, rois)

@@ -31,7 +31,7 @@ from wssdl_bus_tpu.ops.anchor_target import anchor_target_layer_joint
 from wssdl_bus_tpu.ops.anchors import shifted_anchors
 from wssdl_bus_tpu.ops.proposal import proposal_layer
 from wssdl_bus_tpu.ops.proposal_target import proposal_target_layer
-from wssdl_bus_tpu.ops.roi_pool import roi_pool
+from wssdl_bus_tpu.ops.roi_pool_pallas import roi_pool_grouped
 from wssdl_bus_tpu.train import losses as L
 
 
@@ -185,7 +185,16 @@ class Engine:
         else:
             rois_all = sup_rois
 
-        pooled = roi_pool(feat, rois_all, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+        scale = 1.0 / cfg.FEAT_STRIDE
+        sup_pooled = roi_pool_grouped(feat[:n_s], samples.rois, 7, 7, scale)
+        c = feat.shape[-1]
+        if n_ws:
+            ws_pooled = roi_pool_grouped(feat[n_s:], props.boxes[n_s:], 7, 7,
+                                         scale)
+            pooled = jnp.concatenate([sup_pooled.reshape(-1, 7, 7, c),
+                                      ws_pooled.reshape(-1, 7, 7, c)], axis=0)
+        else:
+            pooled = sup_pooled.reshape(-1, 7, 7, c)
         cls_score, bbox_pred, bs_head = self._apply_head(
             var, pooled, train=True, dropout_rng=k_drop)
 
@@ -287,8 +296,9 @@ class Engine:
                 post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
                 nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
                 min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
-            rois = _rois5(props.boxes, 0)
-            pooled = roi_pool(feat, rois, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+            pooled = roi_pool_grouped(feat, props.boxes, 7, 7,
+                                      1.0 / cfg.FEAT_STRIDE)
+            pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
             cls_score, _, _ = self._apply_head(var, pooled, train=True,
                                                dropout_rng=key)
             b = batch["data"].shape[0]
@@ -363,7 +373,9 @@ class Engine:
             include_gt=False)  # is_training=False skips the GT append
 
         rois_all = _rois5(samples.rois, 0)
-        pooled = roi_pool(feat, rois_all, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+        pooled = roi_pool_grouped(feat, samples.rois, 7, 7,
+                                  1.0 / cfg.FEAT_STRIDE)
+        pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
         cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
 
         r = cfg.TRAIN.BATCH_SIZE
@@ -402,7 +414,9 @@ class Engine:
             nms_thresh=cfg.TEST.RPN_NMS_THRESH,
             min_size=float(cfg.TEST.RPN_MIN_SIZE))
         rois = _rois5(props.boxes, 0)
-        pooled = roi_pool(feat, rois, 7, 7, 1.0 / cfg.FEAT_STRIDE)
+        pooled = roi_pool_grouped(feat, props.boxes, 7, 7,
+                                  1.0 / cfg.FEAT_STRIDE)
+        pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
         cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred

@@ -136,9 +136,10 @@ def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
 
 def test_net(eng, variables, imdb, output_dir: str, net_name: str,
              canvas_hw, max_per_image: int = 300, thresh: float = 0.05,
-             verbose: bool = True):
+             verbose: bool = True, vis: bool = False):
     """Detect over an imdb and evaluate (test_bus.py:300-413).
 
+    ``vis`` saves per-image qualitative overlays (test_bus.py:244,333-339).
     Returns (all_boxes, eval result from imdb.evaluate_detections)."""
     num_images = imdb.num_images
     num_classes = imdb.num_classes
@@ -167,6 +168,12 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
                 for j in range(1, num_classes):
                     keep = np.where(all_boxes[j][i][:, -1] >= image_thresh)[0]
                     all_boxes[j][i] = all_boxes[j][i][keep]
+        if vis:
+            from wssdl_bus_tpu.evaluate.visualize import save_qualitative
+            save_qualitative(
+                im, {j: all_boxes[j][i] for j in range(1, num_classes)},
+                os.path.join(output_dir, "qual"), imdb.image_index[i],
+                thresh=0.5)
         t_misc.toc()
         if verbose:
             print(f"im_detect: {i + 1:d}/{num_images:d} "

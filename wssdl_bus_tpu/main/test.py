@@ -18,6 +18,8 @@ def main():
     parser.add_argument("--imdb_test", default="bus_test", type=str)
     parser.add_argument("--comp_mode", action="store_true",
                         help="competition mode (kept for CLI parity)")
+    parser.add_argument("--qual_res", action="store_true",
+                        help="save qualitative detection overlays")
     add_common_args(parser)
     args = parser.parse_args()
     print("Called with args:")
@@ -51,7 +53,7 @@ def main():
     print(f"restored snapshot at iter {step} from {args.model}")
 
     _, result = test_net(eng, variables, imdb, args.output_dir, args.network,
-                         canvas)
+                         canvas, vis=args.qual_res)
     print("evaluation result:", np.asarray(result))
 
 

@@ -50,7 +50,7 @@ def main():
                     lr_scheduling=args.lr_scheduling,
                     max_iters=args.max_iters,
                     pretrained=args.pretrained_model,
-                    use_prefetch=not args.no_prefetch)
+                    use_prefetch=not args.no_prefetch, vis=args.qual_res)
     solver.train_combined()
     print("done solving")
 

@@ -48,7 +48,8 @@ class Solver:
                  roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
                  output_dir: str, lr_scheduling: str = "const",
                  max_iters: int = 60000, pretrained: Optional[str] = None,
-                 use_prefetch: bool = True, seed: Optional[int] = None):
+                 use_prefetch: bool = True, seed: Optional[int] = None,
+                 vis: bool = False):
         self.eng = engine
         self.cfg = cfg
         self.net_name = net_name
@@ -59,6 +60,7 @@ class Solver:
         self.output_dir = output_dir
         self.max_iters = max_iters
         self.use_prefetch = use_prefetch
+        self.vis = vis
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricLogger(output_dir)
         self.schedule = build_schedule(lr_scheduling, cfg.TRAIN.LEARNING_RATE,
@@ -79,6 +81,25 @@ class Solver:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _maybe_trace(self, it: int):
+        """DEBUG_TIMELINE analog (reference dumps Chrome traces per step,
+        train_bus.py:353-355): profile device steps 1-3 (post-compile) into
+        <output_dir>/jax_trace, viewable in TensorBoard/Perfetto.  Called
+        BEFORE each step; the stop hook runs after the step."""
+        if not self.cfg.TRAIN.DEBUG_TIMELINE:
+            return
+        start = 1 if self.max_iters > 1 else 0
+        if it == start:
+            jax.profiler.start_trace(
+                os.path.join(self.output_dir, "jax_trace"))
+            self._tracing = True
+
+    def _maybe_trace_stop(self, it: int):
+        if getattr(self, "_tracing", False) \
+                and it >= min(3, self.max_iters - 1):
+            jax.profiler.stop_trace()
+            self._tracing = False
 
     def snapshot(self, step: int):
         t = self.cfg.TRAIN
@@ -138,6 +159,17 @@ class Solver:
                 cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
             for j in range(1, num_classes):
                 all_boxes[j][idx] = per_class[j]
+            if self.vis:
+                # qualitative overlays like train_bus.py:824-871
+                from wssdl_bus_tpu.data.minibatch import _load_gray
+                from wssdl_bus_tpu.evaluate.visualize import save_qualitative
+                entry = self.roidb_test[idx]
+                save_qualitative(
+                    _load_gray(entry),
+                    {j: all_boxes[j][idx] for j in range(1, num_classes)},
+                    test_dir, os.path.splitext(
+                        os.path.basename(entry["image"]))[0],
+                    gt_boxes=entry["boxes"], gt_classes=entry["gt_classes"])
 
         with open(os.path.join(test_dir, "detections.pkl"), "wb") as f:
             pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
@@ -195,6 +227,7 @@ class Solver:
         last_snapshot_iter = -1
 
         for it in range(self.max_iters):
+            self._maybe_trace(it)
             timer.tic()
             blobs = layer.forward()
             cur_lr = self.schedule(it)
@@ -203,6 +236,7 @@ class Solver:
                 {k: jnp.asarray(v) for k, v in blobs.items()},
                 self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
             v = self._losses_np(ls)
+            self._maybe_trace_stop(it)
             timer.toc()
             training_loss += v
 
@@ -263,6 +297,7 @@ class Solver:
         last_snapshot_iter = -1
 
         for it in range(self.max_iters):
+            self._maybe_trace(it)
             timer.tic()
             cur_lr = self.schedule(it)
             v = np.zeros((6,))
@@ -281,6 +316,7 @@ class Solver:
                     {k: jnp.asarray(b) for k, b in blobs.items()},
                     self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
                 v[5] = float(mil)
+            self._maybe_trace_stop(it)
             timer.toc()
             training_loss += v
 

@@ -31,6 +31,8 @@ def main():
                     help="measure the CPU baseline instead of the accelerator")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 conv/dense compute (f32 params/geometry)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -49,7 +51,8 @@ def main():
 
     cfg = Config()
     canvas = (608, 800)
-    model = build_detector("VGGnet_train", num_classes=3)
+    model = build_detector("VGGnet_train", num_classes=3,
+                           compute_dtype="bfloat16" if args.bf16 else None)
     eng = Engine(model, cfg, canvas)
     variables, _ = eng.init(jax.random.PRNGKey(0))
 

@@ -1,0 +1,85 @@
+"""Tests for the imdb proposal utilities: evaluate_recall and
+create_roidb_from_box_list (imdb.py:125-215 parity), plus resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/SNUBH_BUS"
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="SNUBH_BUS samples not present")
+
+
+def make_imdb():
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+
+    imdb = get_imdb("bus_test", DATA)
+    prepare_roidb(imdb)
+    return imdb
+
+
+def test_evaluate_recall_perfect_candidates():
+    imdb = make_imdb()
+    # candidates == the gt boxes themselves -> recall 1.0 at every threshold
+    cands = [imdb.roidb[i]["boxes"][imdb.roidb[i]["gt_classes"] > 0]
+             for i in range(imdb.num_images)]
+    res = imdb.evaluate_recall(cands)
+    assert res["ar"] == pytest.approx(1.0)
+    assert np.all(res["recalls"] == 1.0)
+    # garbage candidates -> zero recall
+    res0 = imdb.evaluate_recall(
+        [np.array([[0, 0, 2, 2]]) for _ in range(imdb.num_images)])
+    assert res0["ar"] == pytest.approx(0.0)
+
+
+def test_create_roidb_from_box_list():
+    imdb = make_imdb()
+    box_list = [imdb.roidb[i]["boxes"][:1] for i in range(imdb.num_images)]
+    prop = imdb.create_roidb_from_box_list(box_list)
+    assert len(prop) == imdb.num_images
+    e0 = prop[0]
+    cls0 = imdb.roidb[0]["gt_classes"][0]
+    if cls0 > 0:  # first box is a fg gt -> overlap 1 at its class
+        assert e0["gt_overlaps"][0, cls0] == pytest.approx(1.0)
+    assert e0["gt_classes"][0] == 0  # proposals carry no labels
+
+
+def test_solver_resume(tmp_path):
+    """Train 2 iters, resume, finish to 3: start_iter restored."""
+    import jax
+
+    from wssdl_bus_tpu.config import Config
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.engine import Engine
+    from wssdl_bus_tpu.train.solver import Solver
+
+    cfg = Config().with_overrides([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
+        "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
+        "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
+        "TRAIN.DISPLAY", "1000",
+    ])
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+    imdb = get_imdb("bus_test", DATA)
+    roidb = prepare_roidb(imdb)
+    from wssdl_bus_tpu.data.augment import max_canvas
+    canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
+
+    def mk():
+        eng = Engine(build_detector("VGGnet_train"), cfg, canvas)
+        return Solver(eng, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                      str(tmp_path), max_iters=2, use_prefetch=False)
+
+    mk().train_combined()
+    assert any("_iter_2" in d for d in os.listdir(tmp_path))
+
+    eng2 = Engine(build_detector("VGGnet_train"), cfg, canvas)
+    s2 = Solver(eng2, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                str(tmp_path), max_iters=3, use_prefetch=False, resume=True)
+    assert s2.start_iter == 2
+    s2.train_combined()
+    assert any("_iter_3" in d for d in os.listdir(tmp_path))

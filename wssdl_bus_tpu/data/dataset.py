@@ -149,6 +149,102 @@ class BusDataset:
         from wssdl_bus_tpu.evaluate.voc_eval import evaluate_bus_detections
         return evaluate_bus_detections(self, all_boxes, output_dir)
 
+    def competition_mode(self, on: bool) -> None:
+        """API parity with bus.competition_mode (bus.py:422-428).  There it
+        toggles results-file salting/cleanup; we evaluate in memory and write
+        only into the run's output dir, so both modes behave identically."""
+        self._comp_mode = bool(on)
+
+    # ------------------------------------------------------------------ #
+    def evaluate_recall(self, candidate_boxes, thresholds=None,
+                        limit: Optional[int] = None) -> dict:
+        """Proposal recall metrics (imdb.py:125-215): greedy one-to-one
+        matching of candidates to GT boxes, recall over IoU thresholds.
+
+        candidate_boxes: list (per image) of [N_i, 4] proposal arrays.
+        Returns {'ar', 'recalls', 'thresholds', 'gt_overlaps'}.
+        """
+        gt_overlaps = np.zeros(0)
+        roidb = self.roidb
+        for i in range(self.num_images):
+            gt_inds = np.where(roidb[i]["gt_classes"] > 0)[0]
+            gt = roidb[i]["boxes"][gt_inds].astype(np.float64)
+            boxes = np.asarray(candidate_boxes[i], np.float64).reshape(-1, 4)
+            if limit is not None:
+                boxes = boxes[:limit]
+            if len(boxes) == 0 or len(gt) == 0:
+                gt_overlaps = np.hstack([gt_overlaps, np.zeros(len(gt))])
+                continue
+            ix1 = np.maximum(boxes[:, None, 0], gt[None, :, 0])
+            iy1 = np.maximum(boxes[:, None, 1], gt[None, :, 1])
+            ix2 = np.minimum(boxes[:, None, 2], gt[None, :, 2])
+            iy2 = np.minimum(boxes[:, None, 3], gt[None, :, 3])
+            iw = np.maximum(ix2 - ix1 + 1, 0)
+            ih = np.maximum(iy2 - iy1 + 1, 0)
+            inter = iw * ih
+            ab = ((boxes[:, 2] - boxes[:, 0] + 1)
+                  * (boxes[:, 3] - boxes[:, 1] + 1))
+            ag = (gt[:, 2] - gt[:, 0] + 1) * (gt[:, 3] - gt[:, 1] + 1)
+            overlaps = inter / (ab[:, None] + ag[None, :] - inter)
+            _ov = np.zeros(len(gt))
+            for _ in range(len(gt)):
+                max_per_gt = overlaps.max(axis=0)
+                gt_ind = max_per_gt.argmax()
+                gt_ovr = max_per_gt.max()
+                if gt_ovr < 0:
+                    break
+                box_ind = overlaps[:, gt_ind].argmax()
+                _ov[gt_ind] = gt_ovr
+                overlaps[box_ind, :] = -1
+                overlaps[:, gt_ind] = -1
+            gt_overlaps = np.hstack([gt_overlaps, _ov])
+        gt_overlaps = np.sort(gt_overlaps)
+        if thresholds is None:
+            thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+        recalls = np.array([(gt_overlaps >= t).mean() if len(gt_overlaps)
+                            else 0.0 for t in thresholds])
+        return {"ar": float(recalls.mean()), "recalls": recalls,
+                "thresholds": np.asarray(thresholds),
+                "gt_overlaps": gt_overlaps}
+
+    def create_roidb_from_box_list(self, box_list) -> List[dict]:
+        """Proposal roidb from external box lists (imdb.py create_roidb_
+        from_box_list): per-image boxes labeled by max-IoU against GT."""
+        assert len(box_list) == self.num_images
+        gt_roidb = self.roidb
+        out = []
+        for i in range(self.num_images):
+            boxes = np.asarray(box_list[i], np.uint16).reshape(-1, 4)
+            n = len(boxes)
+            overlaps = np.zeros((n, self.num_classes), np.float32)
+            gt = gt_roidb[i]
+            gt_inds = np.where(gt["gt_classes"] > 0)[0]
+            if n and len(gt_inds):
+                gtb = gt["boxes"][gt_inds].astype(np.float64)
+                b = boxes.astype(np.float64)
+                ix1 = np.maximum(b[:, None, 0], gtb[None, :, 0])
+                iy1 = np.maximum(b[:, None, 1], gtb[None, :, 1])
+                ix2 = np.minimum(b[:, None, 2], gtb[None, :, 2])
+                iy2 = np.minimum(b[:, None, 3], gtb[None, :, 3])
+                iw = np.maximum(ix2 - ix1 + 1, 0)
+                ih = np.maximum(iy2 - iy1 + 1, 0)
+                inter = iw * ih
+                ab = ((b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1))
+                ag = ((gtb[:, 2] - gtb[:, 0] + 1)
+                      * (gtb[:, 3] - gtb[:, 1] + 1))
+                iou = inter / (ab[:, None] + ag[None, :] - inter)
+                argmax = iou.argmax(axis=1)
+                maxes = iou.max(axis=1)
+                pos = maxes > 0
+                overlaps[pos, gt["gt_classes"][gt_inds[argmax[pos]]]] = \
+                    maxes[pos]
+            out.append({"boxes": boxes,
+                        "gt_classes": np.zeros((n,), np.int32),
+                        "gt_overlaps": overlaps, "flipped": False,
+                        "seg_areas": np.zeros((n,), np.float32),
+                        "birads_diag": gt["birads_diag"]})
+        return out
+
 
 def prepare_roidb(imdb: BusDataset) -> List[dict]:
     """Attach derived metadata (roidb.py:18-39)."""

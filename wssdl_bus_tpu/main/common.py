@@ -53,6 +53,9 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--imdb_train_ws", default="bus_test", type=str)
     parser.add_argument("--imdb_test", default="bus_test", type=str)
     parser.add_argument("--no_prefetch", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest snapshot in output_dir "
+                             "(a capability the reference lacks)")
     parser.add_argument("--qual_res", action="store_true",
                         help="save qualitative overlays during in-loop eval "
                              "(the reference's qual_res, train.py:44-45)")

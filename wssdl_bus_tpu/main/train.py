@@ -50,7 +50,8 @@ def main():
                     lr_scheduling=args.lr_scheduling,
                     max_iters=args.max_iters,
                     pretrained=args.pretrained_model,
-                    use_prefetch=not args.no_prefetch, vis=args.qual_res)
+                    use_prefetch=not args.no_prefetch, vis=args.qual_res,
+                    resume=args.resume)
     solver.train_combined()
     print("done solving")
 

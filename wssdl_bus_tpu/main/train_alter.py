@@ -47,7 +47,8 @@ def main():
                     lr_scheduling=args.lr_scheduling,
                     max_iters=args.max_iters,
                     pretrained=args.pretrained_model,
-                    use_prefetch=not args.no_prefetch, vis=args.qual_res)
+                    use_prefetch=not args.no_prefetch, vis=args.qual_res,
+                    resume=args.resume)
     solver.train_alternating(args.s_start_iter, args.s_end_iter,
                              args.ws_start_iter, args.ws_end_iter)
     print("done solving")

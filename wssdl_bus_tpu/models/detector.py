@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 from flax.core import FrozenDict
 
-from wssdl_bus_tpu.models.layers import ConvBlock
+from wssdl_bus_tpu.models.layers import ConvBlock, compute_dtype_scope
 from wssdl_bus_tpu.models.resnet import (RESNET_DEFS, ResNetBackbone,
                                          ResNetRCNNHead)
 from wssdl_bus_tpu.models.vgg import VGG16Backbone, VGGRCNNHead
@@ -85,6 +85,9 @@ class FasterRCNN:
     norm: Optional[str] = None
     num_classes: int = 3
     num_anchors: int = 9
+    # None = float32 everywhere; 'bfloat16' = conv/dense matmuls on the MXU
+    # in bf16 with f32 params, everything else f32 (models/layers.py scope)
+    compute_dtype: Optional[str] = None
 
     def _trunk(self, train: bool) -> TrunkRPN:
         return TrunkRPN(backbone=self.backbone, depth=self.depth,
@@ -113,12 +116,16 @@ class FasterRCNN:
     def apply_trunk(self, variables, data, train: bool):
         """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates)."""
         module = self._trunk(train)
-        if train:
-            (feat, score, bbox), mutated = module.apply(
-                variables["trunk"], data, mutable=["batch_stats"])
-            return feat, score, bbox, mutated.get("batch_stats")
-        feat, score, bbox = module.apply(variables["trunk"], data)
-        return feat, score, bbox, None
+        f32 = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(jnp.float32), t)
+        with compute_dtype_scope(self.compute_dtype):
+            if train:
+                out, mutated = module.apply(
+                    variables["trunk"], data, mutable=["batch_stats"])
+                feat, score, bbox = f32(out)
+                return feat, score, bbox, mutated.get("batch_stats")
+            feat, score, bbox = f32(module.apply(variables["trunk"], data))
+            return feat, score, bbox, None
 
     def apply_head(self, variables, roi_feats, train: bool,
                    dropout_rng=None):
@@ -126,26 +133,33 @@ class FasterRCNN:
         module = self._head(train)
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) \
             else None
-        if train:
-            (cls, bbox), mutated = module.apply(
-                variables["head"], roi_feats, mutable=["batch_stats"],
-                rngs=rngs)
-            return cls, bbox, mutated.get("batch_stats")
-        cls, bbox = module.apply(variables["head"], roi_feats)
-        return cls, bbox, None
+        f32 = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(jnp.float32), t)
+        with compute_dtype_scope(self.compute_dtype):
+            if train:
+                out, mutated = module.apply(
+                    variables["head"], roi_feats, mutable=["batch_stats"],
+                    rngs=rngs)
+                cls, bbox = f32(out)
+                return cls, bbox, mutated.get("batch_stats")
+            cls, bbox = f32(module.apply(variables["head"], roi_feats))
+            return cls, bbox, None
 
 
 def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
-                   num_classes: int = 3) -> FasterRCNN:
+                   num_classes: int = 3,
+                   compute_dtype: Optional[str] = None) -> FasterRCNN:
     """Factory mirroring ``get_network`` names (factory_bus.py:28-44):
     'VGGnet_train' / 'VGGnet_test' / 'Resnet_train' / 'Resnet_test' and the
     '_alter' variants all map onto the same module pair here (the train/test
     distinction is an apply-time flag, not a separate graph)."""
     if name.startswith("VGGnet"):
-        return FasterRCNN(backbone="VGGnet", num_classes=num_classes)
+        return FasterRCNN(backbone="VGGnet", num_classes=num_classes,
+                          compute_dtype=compute_dtype)
     if name.startswith("Resnet"):
         if depth not in RESNET_DEFS:
             raise KeyError(f"unsupported ResNet depth {depth}")
         return FasterRCNN(backbone="Resnet", depth=depth, norm=norm,
-                          num_classes=num_classes)
+                          num_classes=num_classes,
+                          compute_dtype=compute_dtype)
     raise KeyError(f"unknown network name {name}")

@@ -28,6 +28,35 @@ def trunc_init(std: float):
     return nn.initializers.truncated_normal(stddev=std)
 
 
+# --------------------------------------------------------------------- #
+# Mixed precision: a trace-time compute-dtype scope.  When set (e.g.
+# bfloat16), convs and dense layers run their matmuls in that dtype on the
+# MXU with float32 params (flax dtype/param_dtype), and cast back to float32
+# immediately after — normalization, losses, and detection geometry always
+# stay float32.  The scope is read at TRACE time; Engine fixes it per
+# instance so jit caches stay coherent.
+# --------------------------------------------------------------------- #
+import contextlib
+import threading
+
+_DTYPE_SCOPE = threading.local()
+
+
+def get_compute_dtype():
+    return getattr(_DTYPE_SCOPE, "dtype", None)
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype):
+    """dtype: None | 'bfloat16' | jnp dtype."""
+    prev = get_compute_dtype()
+    _DTYPE_SCOPE.dtype = jnp.dtype(dtype) if dtype is not None else None
+    try:
+        yield
+    finally:
+        _DTYPE_SCOPE.dtype = prev
+
+
 class BatchRenorm(nn.Module):
     """Batch normalization with renorm correction, matching
     ``tf.layers.batch_normalization(training=…, renorm=True)`` defaults:
@@ -39,6 +68,7 @@ class BatchRenorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(jnp.float32)  # norm statistics always f32
         feat_shape = (x.shape[-1],)
         reduce_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable("batch_stats", "mean",
@@ -83,6 +113,7 @@ class GroupNormRef(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(jnp.float32)  # norm statistics always f32
         c = x.shape[-1]
         g = min(self.num_groups, c)
         gamma = self.param("gamma", nn.initializers.ones, (c,))
@@ -117,12 +148,18 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        dt = get_compute_dtype()
+        # under a compute-dtype scope the activation CHAIN stays in dt (the
+        # trunk is bandwidth-bound: casting back to f32 after every conv
+        # keeps the HBM traffic f32 and erases the win); normalization
+        # internals stay f32 and boundaries cast back in detector.apply_*
         y = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=self.padding,
                     use_bias=(self.norm is None),
                     kernel_init=trunc_init(self.init_std),
                     bias_init=nn.initializers.zeros,
-                    name="conv")(x)
+                    dtype=dt, param_dtype=jnp.float32,
+                    name="conv")(x if dt is None else x.astype(dt))
         if self.norm == "BN":
             y = BatchRenorm(use_running_average=not self.train, name="bn")(y)
         elif self.norm == "GN":
@@ -156,10 +193,12 @@ class Fc(nn.Module):
     def __call__(self, x):
         if x.ndim == 4:
             x = x.reshape(x.shape[0], -1)
+        dt = get_compute_dtype()
         y = nn.Dense(self.features, use_bias=(self.norm is None),
                      kernel_init=trunc_init(self.init_std),
                      bias_init=nn.initializers.zeros,
-                     name="dense")(x)
+                     dtype=dt, param_dtype=jnp.float32,
+                     name="dense")(x if dt is None else x.astype(dt))
         if self.norm == "BN":
             y = BatchRenorm(use_running_average=not self.train, name="bn")(y)
         elif self.norm == "GN":

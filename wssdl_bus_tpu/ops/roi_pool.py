@@ -104,6 +104,8 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
       [R, pooled_h, pooled_w, C].
     """
     r = rois.shape[0]
+    if r == 0:
+        return jnp.zeros((0, pooled_h, pooled_w, feat.shape[-1]), feat.dtype)
     # balance chunks so padding never exceeds num_chunks-1 rois
     # (e.g. 300 rois with chunk=256 -> two chunks of 150, not 256+pad 212)
     num_chunks = -(-r // chunk)

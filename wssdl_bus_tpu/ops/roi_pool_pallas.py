@@ -178,10 +178,12 @@ def _pad_rois(rois):
     return rois, p
 
 
-def _c_block(c: int) -> int:
-    """Channel blocking keeps feat (+ dfeat in the backward) within VMEM for
-    wide backbones (ResNet bottleneck C=1024)."""
-    return min(c, 512)
+def _c_block(c: int, backward: bool = False) -> int:
+    """Channel blocking keeps feat (+ dfeat and the argmax temporaries in the
+    backward) within VMEM: the backward holds feat + dfeat + ~5 [span_h,W,CB]
+    temporaries and compiles at the 16 MB edge with CB=512, so it runs at
+    CB=256."""
+    return min(c, 256 if backward else 512)
 
 
 def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
@@ -214,7 +216,7 @@ def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
 def _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale, interpret):
     h, w, c = feat.shape
     span_h, span_w = _spans(h, w, pooled_h, pooled_w)
-    cb = _c_block(c)
+    cb = _c_block(c, backward=True)
     rois_p, p = _pad_rois(rois)
     pad = rois_p.shape[0] - p
     if pad:
@@ -280,6 +282,9 @@ def roi_pool_grouped(feat: jnp.ndarray, rois: jnp.ndarray,
     5-col rois.
     """
     b, p, _ = rois.shape
+    if b == 0 or p == 0:
+        return jnp.zeros((b, p, pooled_h, pooled_w, feat.shape[-1]),
+                         feat.dtype)
     if force_fallback or jax.default_backend() != "tpu":
         from wssdl_bus_tpu.ops.roi_pool import roi_pool
 

@@ -49,7 +49,7 @@ class Solver:
                  output_dir: str, lr_scheduling: str = "const",
                  max_iters: int = 60000, pretrained: Optional[str] = None,
                  use_prefetch: bool = True, seed: Optional[int] = None,
-                 vis: bool = False):
+                 vis: bool = False, resume: bool = False):
         self.eng = engine
         self.cfg = cfg
         self.net_name = net_name
@@ -76,6 +76,19 @@ class Solver:
             self.variables = load_pretrained_npy(
                 pretrained, self.variables, self.eng.model.backbone,
                 verbose=True)
+
+        # mid-training resume — a capability the reference LACKS (its
+        # checkpoints are only ever consumed by test.py, SURVEY.md §5.4)
+        self.start_iter = 0
+        if resume:
+            from wssdl_bus_tpu.train.checkpoint import (latest_checkpoint,
+                                                        load_checkpoint)
+            ckpt = latest_checkpoint(output_dir)
+            if ckpt is not None:
+                self.variables, step, self.opt_state = load_checkpoint(
+                    ckpt, self.variables, self.opt_state)
+                self.start_iter = step
+                print(f"Resumed from {ckpt} at iter {step}")
 
     # ------------------------------------------------------------------ #
     def _next_key(self):
@@ -226,7 +239,7 @@ class Solver:
         test_loss_logs = []
         last_snapshot_iter = -1
 
-        for it in range(self.max_iters):
+        for it in range(self.start_iter, self.max_iters):
             self._maybe_trace(it)
             timer.tic()
             blobs = layer.forward()
@@ -296,7 +309,7 @@ class Solver:
         test_loss_logs = []
         last_snapshot_iter = -1
 
-        for it in range(self.max_iters):
+        for it in range(self.start_iter, self.max_iters):
             self._maybe_trace(it)
             timer.tic()
             cur_lr = self.schedule(it)

@@ -239,6 +239,10 @@ class Solver:
         test_loss_logs = []
         last_snapshot_iter = -1
 
+        # losses stay ON DEVICE in the hot loop (each host read is a device
+        # round trip — ruinous through remote-attached TPUs); they are
+        # fetched only at DISPLAY/TEST_ITERS boundaries
+        pending = []
         for it in range(self.start_iter, self.max_iters):
             self._maybe_trace(it)
             timer.tic()
@@ -248,18 +252,20 @@ class Solver:
                 self.variables, self.opt_state,
                 {k: jnp.asarray(v) for k, v in blobs.items()},
                 self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
-            v = self._losses_np(ls)
+            pending.append(ls)
             self._maybe_trace_stop(it)
             timer.toc()
-            training_loss += v
 
             if (it + 1) % cfg.TRAIN.DISPLAY == 0:
-                self._display(it, v)
+                self._display(it, self._losses_np(ls))
                 print(f"speed: {timer.average_time:.3f}s / iter")
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
                 self.snapshot(it)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
+                for p in pending:
+                    training_loss += self._losses_np(p)
+                pending = []
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
 
@@ -309,18 +315,20 @@ class Solver:
         test_loss_logs = []
         last_snapshot_iter = -1
 
+        # device-resident loss accumulation, fetched only at boundaries
+        # (see train_combined)
+        pending = []
         for it in range(self.start_iter, self.max_iters):
             self._maybe_trace(it)
             timer.tic()
             cur_lr = self.schedule(it)
-            v = np.zeros((6,))
+            ls = mil = None
             if s_start <= it <= s_end:
                 blobs = layer_s.forward()
                 self.variables, self.opt_state, ls = self.eng.train_step(
                     self.variables, self.opt_state,
                     {k: jnp.asarray(b) for k, b in blobs.items()},
                     self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
-                v = self._losses_np(ls)
             if (ws_start <= it <= ws_end
                     and (it + 1) % cfg.TRAIN.WS_TRAIN_INTERVAL == 0):
                 blobs = layer_ws.forward()
@@ -328,18 +336,27 @@ class Solver:
                     self.variables, opt_state_ws,
                     {k: jnp.asarray(b) for k, b in blobs.items()},
                     self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
-                v[5] = float(mil)
+            pending.append((ls, mil))
             self._maybe_trace_stop(it)
             timer.toc()
-            training_loss += v
+
+            def to_np(pair):
+                ls_i, mil_i = pair
+                v = np.zeros((6,)) if ls_i is None else self._losses_np(ls_i)
+                if mil_i is not None:
+                    v[5] = float(mil_i)
+                return v
 
             if (it + 1) % cfg.TRAIN.DISPLAY == 0:
-                self._display(it, v)
+                self._display(it, to_np(pending[-1]))
                 print(f"speed: {timer.average_time:.3f}s / iter")
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
                 self.snapshot(it)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
+                for p in pending:
+                    training_loss += to_np(p)
+                pending = []
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
 

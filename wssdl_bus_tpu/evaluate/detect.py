@@ -74,34 +74,61 @@ def get_image_blob(im: np.ndarray, net_name: str, cfg, canvas_hw):
     return blob, im_scale, (h, w)
 
 
-def im_detect(eng, variables, im: np.ndarray, net_name: str,
-              canvas_hw) -> tuple:
-    """-> (scores [N, C], pred_boxes [N, 4C]) in ORIGINAL image coords
-    (test_bus.py:146-240)."""
+def _decode_one(eng, im_shape, im_scale, rois, valid, cls_prob, bbox_pred):
+    """Device outputs of ONE image -> (scores, pred_boxes) in original
+    coords (test_bus.py:214-223)."""
     from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 
-    cfg = eng.cfg
-    blob, im_scale, (h, w) = get_image_blob(im, net_name, cfg, canvas_hw)
-    im_info = np.array([[h, w, im_scale, 0.0]], np.float32)
-
-    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
-        variables, blob, im_info)
-    rois = np.asarray(rois)
     valid = np.asarray(valid).astype(bool)
     cls_prob = np.asarray(cls_prob)[valid]
     bbox_pred = np.asarray(bbox_pred)[valid]
-    boxes = rois[valid, 1:5] / im_scale
-
-    if cfg.TEST.BBOX_REG:
-        # decode per-class deltas against the (unscaled) proposal boxes and
-        # clip to the ORIGINAL image extent (test_bus.py:214-223)
+    boxes = np.asarray(rois)[valid, 1:5] / im_scale
+    if eng.cfg.TEST.BBOX_REG:
         pred = np.asarray(bbox_transform_inv(boxes, bbox_pred))
         pred = np.asarray(clip_boxes(pred.reshape(-1, 4),
-                                     im.shape[0], im.shape[1]))
+                                     im_shape[0], im_shape[1]))
         pred_boxes = pred.reshape(len(boxes), -1)
     else:
         pred_boxes = np.tile(boxes, (1, cls_prob.shape[1]))
     return cls_prob, pred_boxes
+
+
+def im_detect(eng, variables, im: np.ndarray, net_name: str,
+              canvas_hw) -> tuple:
+    """-> (scores [N, C], pred_boxes [N, 4C]) in ORIGINAL image coords
+    (test_bus.py:146-240)."""
+    cfg = eng.cfg
+    blob, im_scale, (h, w) = get_image_blob(im, net_name, cfg, canvas_hw)
+    im_info = np.array([[h, w, im_scale, 0.0]], np.float32)
+    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
+        variables, blob, im_info)
+    return _decode_one(eng, im.shape, im_scale, rois, valid, cls_prob,
+                       bbox_pred)
+
+
+def im_detect_batch(eng, variables, images, net_name: str, canvas_hw):
+    """Batched serving path (no reference analog — its im_detect is strictly
+    single-image, test_bus.py:146): pack B images into the static canvas, one
+    device step, split per image.  -> list of (scores, pred_boxes)."""
+    cfg = eng.cfg
+    n = len(images)
+    blob = np.zeros((n, canvas_hw[0], canvas_hw[1], 3), np.float32)
+    infos = np.zeros((n, 4), np.float32)
+    scales = []
+    for i, im in enumerate(images):
+        b, s, (h, w) = get_image_blob(im, net_name, cfg, canvas_hw)
+        blob[i] = b[0]
+        infos[i] = [h, w, s, 0.0]
+        scales.append(s)
+    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
+        variables, blob, infos)
+    p = cfg.TEST.RPN_POST_NMS_TOP_N
+    rois = np.asarray(rois).reshape(n, p, 5)
+    valid = np.asarray(valid).reshape(n, p)
+    cls_prob = np.asarray(cls_prob).reshape(n, p, -1)
+    bbox_pred = np.asarray(bbox_pred).reshape(n, p, -1)
+    return [_decode_one(eng, images[i].shape, scales[i], rois[i], valid[i],
+                        cls_prob[i], bbox_pred[i]) for i in range(n)]
 
 
 def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
@@ -136,10 +163,11 @@ def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
 
 def test_net(eng, variables, imdb, output_dir: str, net_name: str,
              canvas_hw, max_per_image: int = 300, thresh: float = 0.05,
-             verbose: bool = True, vis: bool = False):
+             verbose: bool = True, vis: bool = False, batch_size: int = 1):
     """Detect over an imdb and evaluate (test_bus.py:300-413).
 
     ``vis`` saves per-image qualitative overlays (test_bus.py:244,333-339).
+    ``batch_size`` > 1 runs the batched serving path (im_detect_batch).
     Returns (all_boxes, eval result from imdb.evaluate_detections)."""
     num_images = imdb.num_images
     num_classes = imdb.num_classes
@@ -147,11 +175,28 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
     os.makedirs(output_dir, exist_ok=True)
     t_det, t_misc = Timer(), Timer()
 
+    pending = []  # (image_index, image, scores, boxes)
+    if batch_size > 1:
+        for start in range(0, num_images, batch_size):
+            idxs = list(range(start, min(start + batch_size, num_images)))
+            ims = [imdb.read_image(i) for i in idxs]
+            # pad the tail batch to the compiled batch size
+            padded = ims + [ims[-1]] * (batch_size - len(ims))
+            t_det.tic()
+            results = im_detect_batch(eng, variables, padded, net_name,
+                                      canvas_hw)
+            t_det.toc()
+            for k, i in enumerate(idxs):
+                pending.append((i, ims[k]) + results[k])
+
     for i in range(num_images):
-        im = imdb.read_image(i)
-        t_det.tic()
-        scores, boxes = im_detect(eng, variables, im, net_name, canvas_hw)
-        t_det.toc()
+        if batch_size > 1:
+            _, im, scores, boxes = pending[i]
+        else:
+            im = imdb.read_image(i)
+            t_det.tic()
+            scores, boxes = im_detect(eng, variables, im, net_name, canvas_hw)
+            t_det.toc()
 
         t_misc.tic()
         per_class = apply_nms_per_class(

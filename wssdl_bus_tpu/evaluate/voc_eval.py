@@ -224,13 +224,19 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
         np.save(os.path.join(output_dir, "num_fp_per_img"), per_img_total)
         return [int(per_img_total.sum())]
 
+    # parse each class's GT once (the reference caches the parsed
+    # annotations in a pickle, voc_eval_bus.py:104-128; the FROC sweep below
+    # re-evaluates 21 thresholds x classes and must not re-read the XMLs)
+    gt_cache = {cls: _gt_for_class(imdb, cls)
+                for cls in imdb.classes if cls != "__background__"}
+
     aps, nis, noks, corloc_list = [], [], [], []
     all_arr_ok = np.zeros((0,))
     for ci, cls in enumerate(imdb.classes):
         if cls == "__background__":
             continue
         rec, prec, ap, ni, nok, arr_ok, _, _ = voc_eval_class(
-            dets_for_class(ci), _gt_for_class(imdb, cls), imagenames,
+            dets_for_class(ci), gt_cache[cls], imagenames,
             score_thresh=0.5)
         aps.append(ap)
         nis.append(ni)
@@ -253,7 +259,7 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
             if cls == "__background__":
                 continue
             _, _, _, ni, nok, _, num_all_fps, _ = voc_eval_class(
-                dets_for_class(ci), _gt_for_class(imdb, cls), imagenames,
+                dets_for_class(ci), gt_cache[cls], imagenames,
                 score_thresh=thr)
             curve_pts[ci].append((float(num_all_fps) / max(ni, 1),
                                   float(nok) / max(ni, 1)))

@@ -20,6 +20,8 @@ def main():
                         help="competition mode (kept for CLI parity)")
     parser.add_argument("--qual_res", action="store_true",
                         help="save qualitative detection overlays")
+    parser.add_argument("--batch_size", default=1, type=int,
+                        help="images per device step (batched serving path)")
     add_common_args(parser)
     args = parser.parse_args()
     print("Called with args:")
@@ -53,7 +55,8 @@ def main():
     print(f"restored snapshot at iter {step} from {args.model}")
 
     _, result = test_net(eng, variables, imdb, args.output_dir, args.network,
-                         canvas, vis=args.qual_res)
+                         canvas, vis=args.qual_res,
+                         batch_size=args.batch_size)
     print("evaluation result:", np.asarray(result))
 
 

@@ -139,7 +139,8 @@ def nms_mask(sorted_boxes: jnp.ndarray, valid: jnp.ndarray, thresh: float,
 
 
 def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-                thresh: float, max_out: int, block_size: int = 128):
+                thresh: float, max_out: int, block_size: int = 128,
+                presorted: bool = False):
     """Full NMS convenience: sort by score, suppress, return top indices.
 
     Returns ``(idx, keep_valid)`` where ``idx`` is [max_out] indices into the
@@ -147,16 +148,26 @@ def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     ``keep_valid`` is the [max_out] bool mask of real (non-pad) outputs.
     Mirrors ``keep = nms(dets, thresh); keep = keep[:post_nms_topN]``
     (proposal_layer_tf_bus.py:138-140).
+
+    ``presorted=True`` skips the score sort — correct whenever the caller's
+    boxes already arrive score-descending (e.g. straight out of
+    ``jax.lax.top_k``, whose values are sorted).
     """
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    order = jnp.argsort(jnp.where(valid, scores, neg_inf), descending=True)
-    sorted_boxes = boxes[order]
-    sorted_valid = valid[order]
-    keep = nms_mask(sorted_boxes, sorted_valid, thresh, block_size=block_size)
-    # Stable kept-first ordering (score order preserved within kept).
     n = boxes.shape[0]
+    if presorted:
+        order = jnp.arange(n)
+        sorted_boxes, sorted_valid = boxes, valid
+    else:
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        order = jnp.argsort(jnp.where(valid, scores, neg_inf),
+                            descending=True)
+        sorted_boxes = boxes[order]
+        sorted_valid = valid[order]
+    keep = nms_mask(sorted_boxes, sorted_valid, thresh, block_size=block_size)
+    # Stable kept-first selection (score order preserved within kept):
+    # top_k over a rank key instead of a full argsort.
     rank = jnp.where(keep, jnp.arange(n), n + jnp.arange(n))
-    kept_order = jnp.argsort(rank)[:max_out]
+    _, kept_order = jax.lax.top_k(-rank, max_out)
     idx = order[kept_order]
     keep_valid = keep[kept_order]
     return idx, keep_valid

@@ -81,8 +81,10 @@ def proposal_layer_single(rpn_cls_prob: jnp.ndarray,
     top_boxes = proposals[top_idx]
     top_valid = top_scores > neg_inf
 
+    # top_k returns values sorted descending -> skip the NMS-internal sort
     keep_idx, keep_valid = nms_indices(
-        top_boxes, top_scores, top_valid, nms_thresh, post_nms_top_n)
+        top_boxes, top_scores, top_valid, nms_thresh, post_nms_top_n,
+        presorted=True)
     out_boxes = top_boxes[keep_idx]
     out_scores = top_scores[keep_idx]
     return Proposals(out_boxes, out_scores, keep_valid)

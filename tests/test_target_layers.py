@@ -190,3 +190,46 @@ def test_proposal_layer_matches_oracle(rng):
     rois = np.asarray(proposals_to_rois(props))
     assert rois.shape == (30, 5)
     assert (rois[:, 0] == 0).all()
+
+
+def _anchor_target_oracle_classic(anchors, gt, im_hw, fg_only,
+                                  pos_ov=0.7, neg_ov=0.3):
+    """Classic Faster R-CNN labeling, the reference's SNUBH_FG / UDIAT paths
+    (anchor_target_layer_tf_bus.py:159-199): negatives from max IoU < 0.3,
+    positives from per-gt argmax + IoU >= 0.7."""
+    inside = ((anchors[:, 0] >= 0) & (anchors[:, 1] >= 0)
+              & (anchors[:, 2] < im_hw[1]) & (anchors[:, 3] < im_hw[0]))
+    idx_in = np.where(inside)[0]
+    a_in = anchors[idx_in]
+    labels = np.full(len(idx_in), -1.0)
+    gt = gt[:3]  # valid rows only (num_gt), not the zero padding
+    cols = gt[gt[:, 4] != 0] if fg_only else gt
+    ov = oracles.iou_oracle(a_in, cols[:, :4])
+    max_ov = ov.max(axis=1)
+    gt_max = ov.max(axis=0)
+    labels[max_ov < neg_ov] = 0
+    labels[np.where(ov == gt_max)[0]] = 1
+    labels[max_ov >= pos_ov] = 1
+    full = np.full(len(anchors), -1.0)
+    full[idx_in] = labels
+    return full
+
+
+def test_anchor_target_udiat_and_snubh_fg_match_oracle(rng):
+    h, w = 20, 28
+    anchors = shifted_anchors(h, w, 16)
+    im_info = jnp.array([h * 16.0, w * 16.0, 1.0, 1.0])
+    gt = np.zeros((20, 5), np.float32)
+    gt[0] = [40, 40, 180, 150, 1]
+    gt[1] = [200, 100, 390, 280, 2]
+    gt[2] = [10, 180, 260, 310, 0]   # bg box: used by UDIAT, not SNUBH_FG
+
+    for dataset, fg_only in (("UDIAT", False), ("SNUBH_FG", True)):
+        labels, *_ = anchor_target_single(
+            jax.random.PRNGKey(0), jnp.array(gt), jnp.int32(3), im_info,
+            jnp.array(anchors), dataset=dataset,
+            rpn_batchsize=100000, rpn_fg_fraction=1.0)
+        want = _anchor_target_oracle_classic(
+            anchors.astype(np.float64), gt, (h * 16, w * 16), fg_only)
+        np.testing.assert_array_equal(np.asarray(labels), want,
+                                      err_msg=dataset)

@@ -88,6 +88,11 @@ class FasterRCNN:
     # None = float32 everywhere; 'bfloat16' = conv/dense matmuls on the MXU
     # in bf16 with f32 params, everything else f32 (models/layers.py scope)
     compute_dtype: Optional[str] = None
+    # rematerialize trunk/head activations in the backward pass (trades ~1
+    # extra forward for O(depth) activation memory).  Required for ResNet
+    # bottleneck training at full canvas: without it the train step needs
+    # 16.4 GB HBM on a 16 GB chip (group3 runs on every one of ~4.1k ROIs).
+    remat: bool = False
 
     def _trunk(self, train: bool) -> TrunkRPN:
         return TrunkRPN(backbone=self.backbone, depth=self.depth,
@@ -118,14 +123,19 @@ class FasterRCNN:
         module = self._trunk(train)
         f32 = lambda t: jax.tree.map(  # noqa: E731
             lambda a: a.astype(jnp.float32), t)
-        with compute_dtype_scope(self.compute_dtype):
-            if train:
-                out, mutated = module.apply(
-                    variables["trunk"], data, mutable=["batch_stats"])
-                feat, score, bbox = f32(out)
-                return feat, score, bbox, mutated.get("batch_stats")
-            feat, score, bbox = f32(module.apply(variables["trunk"], data))
-            return feat, score, bbox, None
+
+        def fwd(v, d):
+            with compute_dtype_scope(self.compute_dtype):
+                if train:
+                    out, mutated = module.apply(v, d,
+                                                mutable=["batch_stats"])
+                    return f32(out), mutated.get("batch_stats")
+                return f32(module.apply(v, d)), None
+
+        if self.remat and train:
+            fwd = jax.checkpoint(fwd)
+        (feat, score, bbox), bs = fwd(variables["trunk"], data)
+        return feat, score, bbox, bs
 
     def apply_head(self, variables, roi_feats, train: bool,
                    dropout_rng=None):
@@ -135,15 +145,20 @@ class FasterRCNN:
             else None
         f32 = lambda t: jax.tree.map(  # noqa: E731
             lambda a: a.astype(jnp.float32), t)
-        with compute_dtype_scope(self.compute_dtype):
-            if train:
-                out, mutated = module.apply(
-                    variables["head"], roi_feats, mutable=["batch_stats"],
-                    rngs=rngs)
-                cls, bbox = f32(out)
-                return cls, bbox, mutated.get("batch_stats")
-            cls, bbox = f32(module.apply(variables["head"], roi_feats))
-            return cls, bbox, None
+
+        def fwd(v, x):
+            with compute_dtype_scope(self.compute_dtype):
+                if train:
+                    out, mutated = module.apply(v, x,
+                                                mutable=["batch_stats"],
+                                                rngs=rngs)
+                    return f32(out), mutated.get("batch_stats")
+                return f32(module.apply(v, x)), None
+
+        if self.remat and train:
+            fwd = jax.checkpoint(fwd)
+        (cls, bbox), bs = fwd(variables["head"], roi_feats)
+        return cls, bbox, bs
 
 
 def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
@@ -159,7 +174,9 @@ def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
     if name.startswith("Resnet"):
         if depth not in RESNET_DEFS:
             raise KeyError(f"unsupported ResNet depth {depth}")
+        # remat by default: bottleneck training at full canvas exceeds one
+        # chip's HBM without it (see FasterRCNN.remat)
         return FasterRCNN(backbone="Resnet", depth=depth, norm=norm,
                           num_classes=num_classes,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, remat=True)
     raise KeyError(f"unknown network name {name}")

@@ -149,16 +149,14 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
                 wv = ((iota_w2 >= lo_w) & (iota_w2 < hi_w)) \
                     .astype(jnp.float32)                     # [W, 1]
                 masked_rows = rows_i * wv - (1.0 - wv) * big
-                m = jnp.max(masked_rows, axis=0)             # [C]
-                am_w = jnp.argmax(
-                    (masked_rows == m[None, :]).astype(jnp.float32),
-                    axis=0)
+                # jnp.argmax returns the FIRST maximum — one pass instead of
+                # max + equality + argmax-of-equality
+                am_w = jnp.argmax(masked_rows, axis=0)       # [C]
                 ne = ((hi_h > lo_h) & (hi_w > lo_w)).astype(jnp.float32)
                 g = g_ref[r, i, j, :] * ne                   # [C]
                 onehot_w = (iota_w2 == am_w[None, :]).astype(jnp.float32)
                 g_rows = g_rows + onehot_w * g[None, :]
-            am_h = jnp.argmax(
-                (masked_win == rows_i[None]).astype(jnp.float32), axis=0)
+            am_h = jnp.argmax(masked_win, axis=0)            # [W, C]
             onehot_h = (iota_sh == am_h[None]).astype(jnp.float32)
             dfeat_ref[pl.ds(sh, span_h), :, :] += onehot_h * g_rows[None]
         return 0

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import pickle
 import xml.etree.ElementTree as ET
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image

@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional
-
 import numpy as np
 
 from wssdl_bus_tpu.data.augment import prep_image

@@ -11,13 +11,12 @@ differentiable graph is two flax modules (``TrunkRPN`` applied to images,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import FrozenDict
 
 from wssdl_bus_tpu.models.layers import ConvBlock, compute_dtype_scope
 from wssdl_bus_tpu.models.resnet import (RESNET_DEFS, ResNetBackbone,

@@ -24,8 +24,6 @@ skipping covers it; if a matching checkpoint ever appears, permute rows with
 from __future__ import annotations
 
 import copy
-from typing import Dict
-
 import numpy as np
 
 _VAR_MAP = {"weights": "kernel", "biases": "bias",

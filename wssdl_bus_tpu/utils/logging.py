@@ -14,8 +14,6 @@ and ``TraceContext`` wraps ``jax.profiler`` for the timeline equivalent
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 
 class MetricLogger:
     def __init__(self, output_dir: str, tensorboard: bool = True):

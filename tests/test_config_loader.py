@@ -1,0 +1,68 @@
+"""Config layering (YAML + KEY VALUE overrides, strict merge) and data-layer
+cursor semantics (epoch shuffling, joint dual cursors)."""
+
+import numpy as np
+import pytest
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.data.loader import _Cursor
+
+
+def test_config_overrides_and_types():
+    cfg = Config().with_overrides([
+        "TRAIN.LEARNING_RATE", "0.001",
+        "TRAIN.SCALES", "(300, 500)",
+        "TEST.NMS", "0.5",
+        "TRAIN.USE_FLIPPED", "False",
+    ])
+    assert cfg.TRAIN.LEARNING_RATE == 0.001
+    assert cfg.TRAIN.SCALES == (300, 500)
+    assert cfg.TEST.NMS == 0.5
+    assert cfg.TRAIN.USE_FLIPPED is False
+    # originals untouched (immutability)
+    assert Config().TRAIN.LEARNING_RATE == 0.0005
+    with pytest.raises(KeyError):
+        Config().with_overrides(["TRAIN.NOPE", "1"])
+    with pytest.raises(TypeError):
+        Config().with_overrides(["TRAIN.IMS_PER_BATCH", "'one'"])
+    with pytest.raises(ValueError):
+        Config().with_overrides(["TRAIN.IMS_PER_BATCH"])
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    p = tmp_path / "o.yml"
+    p.write_text("TRAIN:\n  SNAPSHOT_ITERS: 77\nTEST:\n  NMS: 0.45\n")
+    cfg = Config.from_yaml(str(p))
+    assert cfg.TRAIN.SNAPSHOT_ITERS == 77
+    assert cfg.TEST.NMS == 0.45
+    assert cfg.TRAIN.DISPLAY == 10  # untouched default
+
+
+def test_cursor_epoch_semantics():
+    rng = np.random.RandomState(0)
+    cur = _Cursor(5, shuffle=True, rng=rng)
+    seen = []
+    for _ in range(2):  # one epoch of batch-2 (last batch triggers reshuffle)
+        seen.extend(cur.next(2).tolist())
+    # indices come from the permutation without repetition within the epoch
+    assert len(set(seen)) == len(seen)
+    # unshuffled test-mode cursor iterates in order
+    cur2 = _Cursor(4, shuffle=False, rng=rng)
+    assert cur2.next(2).tolist() == [0, 1]
+    assert cur2.next(2).tolist() == [2, 3]
+    assert cur2.next(2).tolist() == [0, 1]  # wraps to a fresh epoch
+
+
+def test_augment_vgg_vs_resnet_scaling(rng):
+    from wssdl_bus_tpu.config import Config
+    from wssdl_bus_tpu.data.augment import prep_image
+
+    im = (rng.rand(300, 400) * 255).astype(np.uint8)
+    cfg = Config()
+    v, sv = prep_image(im, "VGGnet_test", cfg, False, False, rng)
+    r, sr = prep_image(im, "Resnet_test", cfg, False, False, rng)
+    assert sv == sr
+    # VGG output = x*255, ResNet = x/(std/255) = x*255/std for the same
+    # mean-subtracted x, so VGG/ResNet == std everywhere (blob.py:74-77)
+    mask = np.abs(r) > 1e-3
+    np.testing.assert_allclose((v / r)[mask], cfg.PIXEL_STD, rtol=1e-3)

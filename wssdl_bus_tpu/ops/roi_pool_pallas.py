@@ -22,7 +22,8 @@ sequential grid, one [SPAN_H, W, C] update per (roi, row-bin).
 
 Measured on one v5e chip at training shapes (2 images x 2000 rois, C=512,
 38x50 features): forward 15.5 ms vs 145 ms for the jit fallback; fwd+bwd
-38 ms vs 458 ms.  Full train step 644 -> 100 ms/iter.
+~30 ms vs 458 ms (12.6 fwd + ~20 bwd per profiler trace).  Full train step
+644 -> 88 ms/iter.
 
 Use ``roi_pool_grouped`` below: it dispatches to this kernel on TPU and to
 the jit fallback elsewhere (tests compare both against the numpy oracle).

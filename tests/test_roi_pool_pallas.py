@@ -83,3 +83,29 @@ def test_grouped_dispatch_fallback(rng):
     assert out.shape == (2, 6, 7, 7, 4)
     np.testing.assert_allclose(np.asarray(out[1]), 2 * np.asarray(out[0]),
                                rtol=1e-6)
+
+
+def test_pallas_bwd_skips_zero_cotangent_rois(rng):
+    """The backward kernel skips ROIs whose whole gradient block is zero
+    (the MIL-sparsity fast path): gradients must still match the fallback
+    exactly when only a few ROIs carry cotangents."""
+    h, w, c, p = 24, 30, 8, 40
+    feat = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    x1 = rng.uniform(0, (w - 2) * 16, p)
+    y1 = rng.uniform(0, (h - 2) * 16, p)
+    rois = jnp.asarray(np.stack(
+        [x1, y1, np.minimum(x1 + 200, w * 16 - 1),
+         np.minimum(y1 + 200, h * 16 - 1)], 1).astype(np.float32))
+    sel = jnp.zeros((p, 1, 1, 1)).at[3].set(1.0).at[17].set(2.0)
+
+    def loss_p(f):
+        return jnp.sum(roi_pool_image(f, rois, 7, 7, 1 / 16.0, True) * sel)
+
+    def loss_f(f):
+        r5 = jnp.concatenate([jnp.zeros((p, 1)), rois], 1)
+        return jnp.sum(roi_pool(f[None], r5, 7, 7, 1 / 16.0) * sel)
+
+    gp = jax.grad(loss_p)(feat)
+    gf = jax.grad(loss_f)(feat)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gf), atol=1e-5)
+    assert int((np.asarray(gp) != 0).sum()) > 0

@@ -123,43 +123,55 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
     big = jnp.float32(1e30)
 
     def roi_body(r, _):
-        rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
-        for i in range(pooled_h):
-            sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
-                                         jnp.int32(i), h, span_h)
-            # one [span_h, W, C] H-slice per row-bin (dynamic slicing only
-            # along H); f32 masks — see the forward kernel note on 8-bit
-            # broadcasts.  The scatter is SEPARABLE, mirroring the forward:
-            # stage-2 routes each bin's grad to the first w whose column max
-            # equals the bin max, stage-1 routes each column's grad to the
-            # first h attaining the column max.  This places every bin's
-            # gradient on exactly ONE max cell like the reference's argmax
-            # scatter; only on exact f32 ties does the chosen cell differ
-            # (w-major vs the reference's h-major scan) — and tied maxima
-            # are post-ReLU zeros in practice, where the gradient dies in
-            # the ReLU backward regardless of placement.
-            win = feat_ref[pl.ds(sh, span_h), :, :]
-            hv = ((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h)) \
-                .astype(jnp.float32)
-            masked_win = win * hv - (1.0 - hv) * big
-            rows_i = jnp.max(masked_win, axis=0)             # [W, C]
-            g_rows = jnp.zeros((w, c), jnp.float32)
-            for j in range(pooled_w):
-                _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
-                                            jnp.int32(j), w, span_w)
-                wv = ((iota_w2 >= lo_w) & (iota_w2 < hi_w)) \
-                    .astype(jnp.float32)                     # [W, 1]
-                masked_rows = rows_i * wv - (1.0 - wv) * big
-                # jnp.argmax returns the FIRST maximum — one pass instead of
-                # max + equality + argmax-of-equality
-                am_w = jnp.argmax(masked_rows, axis=0)       # [C]
-                ne = ((hi_h > lo_h) & (hi_w > lo_w)).astype(jnp.float32)
-                g = g_ref[r, i, j, :] * ne                   # [C]
-                onehot_w = (iota_w2 == am_w[None, :]).astype(jnp.float32)
-                g_rows = g_rows + onehot_w * g[None, :]
-            am_h = jnp.argmax(masked_win, axis=0)            # [W, C]
-            onehot_h = (iota_sh == am_h[None]).astype(jnp.float32)
-            dfeat_ref[pl.ds(sh, span_h), :, :] += onehot_h * g_rows[None]
+        g_all = g_ref[r]                                     # [Ph, Pw, C]
+        # MIL sparsity: for weak images only the per-bag argmax instance
+        # carries gradient (mil/__init__.py selectors), so ~1996 of 2000
+        # weak-proposal cotangent blocks are EXACTLY zero — skip their whole
+        # scatter (the reference backward iterates all of them,
+        # roi_pooling_op_gpu.cu.cc:113-190)
+        @pl.when(jnp.sum(jnp.abs(g_all)) > 0.0)
+        def _():
+            rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
+            for i in range(pooled_h):
+                sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
+                                             jnp.int32(i), h, span_h)
+                # one [span_h, W, C] H-slice per row-bin (dynamic slicing
+                # only along H); f32 masks — see the forward kernel note on
+                # 8-bit broadcasts.  The scatter is SEPARABLE, mirroring the
+                # forward: stage-2 routes each bin's grad to the first w
+                # whose column max equals the bin max, stage-1 routes each
+                # column's grad to the first h attaining the column max.
+                # This places every bin's gradient on exactly ONE max cell
+                # like the reference's argmax scatter; only on exact f32
+                # ties does the chosen cell differ (w-major vs the
+                # reference's h-major scan) — and tied maxima are post-ReLU
+                # zeros in practice, where the gradient dies in the ReLU
+                # backward regardless of placement.
+                win = feat_ref[pl.ds(sh, span_h), :, :]
+                hv = ((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h)) \
+                    .astype(jnp.float32)
+                masked_win = win * hv - (1.0 - hv) * big
+                rows_i = jnp.max(masked_win, axis=0)         # [W, C]
+                g_rows = jnp.zeros((w, c), jnp.float32)
+                for j in range(pooled_w):
+                    _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
+                                                jnp.int32(j), w, span_w)
+                    wv = ((iota_w2 >= lo_w) & (iota_w2 < hi_w)) \
+                        .astype(jnp.float32)                 # [W, 1]
+                    masked_rows = rows_i * wv - (1.0 - wv) * big
+                    # jnp.argmax returns the FIRST maximum — one pass
+                    # instead of max + equality + argmax-of-equality
+                    am_w = jnp.argmax(masked_rows, axis=0)   # [C]
+                    ne = ((hi_h > lo_h) & (hi_w > lo_w)) \
+                        .astype(jnp.float32)
+                    g = g_all[i, j, :] * ne                  # [C]
+                    onehot_w = (iota_w2 == am_w[None, :]) \
+                        .astype(jnp.float32)
+                    g_rows = g_rows + onehot_w * g[None, :]
+                am_h = jnp.argmax(masked_win, axis=0)        # [W, C]
+                onehot_h = (iota_sh == am_h[None]).astype(jnp.float32)
+                dfeat_ref[pl.ds(sh, span_h), :, :] += \
+                    onehot_h * g_rows[None]
         return 0
 
     jax.lax.fori_loop(0, ROI_BLOCK, roi_body, 0)

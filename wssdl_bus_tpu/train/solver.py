@@ -149,6 +149,8 @@ class Solver:
         test_dir = os.path.join(self.output_dir, "test")
         os.makedirs(test_dir, exist_ok=True)
 
+        from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+
         for idx in range(len_test):
             blobs = get_minibatch([self.roidb_test[idx]], self.net_name, cfg,
                                   self.eng.canvas_hw, is_training=False,
@@ -159,7 +161,6 @@ class Solver:
             v = self._losses_np(ls)
             test_loss += v
 
-            from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
             im_h, im_w = self.roidb_test[idx]["height"], \
                 self.roidb_test[idx]["width"]
             scale = blobs["im_info"][0, 2]

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the combined TRAIN step instead "
+                         "(1 supervised + 2 weak images, full budgets)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -57,6 +60,46 @@ def main():
     variables, _ = eng.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(3)
+
+    if args.train:
+        import jax.numpy as jnp
+
+        variables, opt_state = eng.init(jax.random.PRNGKey(0))
+        gt = np.zeros((3, 20, 5), np.float32)
+        gt[0, :3] = [[100, 100, 400, 300, 1], [300, 200, 600, 500, 2],
+                     [10, 10, 90, 90, 0]]
+        batch = {
+            "data": jax.device_put(
+                rng.rand(3, canvas[0], canvas[1], 3).astype(np.float32)),
+            "gt_boxes": jax.device_put(gt),
+            "num_gt_boxes": jax.device_put(np.array([3, 0, 0], np.int32)),
+            "im_info": jax.device_put(np.array(
+                [[canvas[0], canvas[1], 1.33, d] for d in (0, 1, 2)],
+                np.float32)),
+        }
+        key, lr = jax.random.PRNGKey(1), jnp.float32(5e-4)
+        out = eng.train_step(variables, opt_state, batch, key, lr,
+                             jnp.int32(0))
+        jax.block_until_ready(out)
+        iters = max(5, args.iters)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            variables, opt_state, ls = eng.train_step(
+                variables, opt_state, batch, key, lr, jnp.int32(i))
+        jax.block_until_ready((variables, opt_state))
+        dt = (time.perf_counter() - t0) / iters
+        # measured on this host with `python bench.py --train --cpu`:
+        # 0.003 iters/sec (338 s/iter) for the identical jitted step
+        cpu_train_baseline = 0.003
+        print(json.dumps({
+            "metric": "vgg16_frcnn_train_iters_per_sec_"
+                      f"{jax.devices()[0].platform}",
+            "value": round(1.0 / dt, 3),
+            "unit": "iters/sec",
+            "vs_baseline": round((1.0 / dt) / cpu_train_baseline, 3),
+        }))
+        return
+
     # device-resident inputs: a real serving pipeline double-buffers the
     # host->device copy behind the previous step, so steady-state throughput
     # is the device step time, which is what we measure

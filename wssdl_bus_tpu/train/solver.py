@@ -241,9 +241,18 @@ class Solver:
         last_snapshot_iter = -1
 
         # losses stay ON DEVICE in the hot loop (each host read is a device
-        # round trip — ruinous through remote-attached TPUs); they are
-        # fetched only at DISPLAY/TEST_ITERS boundaries
+        # round trip — ruinous through remote-attached TPUs) and are drained
+        # at every DISPLAY boundary.  Draining MUST be bounded: unmaterialized
+        # step outputs pin their step's input buffers on the host (observed:
+        # a kernel OOM at 116 GB RSS when futures accumulated for 1500 iters)
         pending = []
+
+        def drain(pending):
+            nonlocal training_loss
+            for p in pending:
+                training_loss += self._losses_np(p)
+            return []
+
         for it in range(self.start_iter, self.max_iters):
             self._maybe_trace(it)
             timer.tic()
@@ -254,19 +263,20 @@ class Solver:
                 {k: jnp.asarray(v) for k, v in blobs.items()},
                 self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
             pending.append(ls)
+            if len(pending) >= 25:  # hard cap independent of DISPLAY
+                pending = drain(pending)
             self._maybe_trace_stop(it)
             timer.toc()
 
             if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+                pending = drain(pending)
                 self._display(it, self._losses_np(ls))
                 print(f"speed: {timer.average_time:.3f}s / iter")
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
                 self.snapshot(it)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
-                for p in pending:
-                    training_loss += self._losses_np(p)
-                pending = []
+                pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
 
@@ -316,9 +326,23 @@ class Solver:
         test_loss_logs = []
         last_snapshot_iter = -1
 
-        # device-resident loss accumulation, fetched only at boundaries
-        # (see train_combined)
+        # device-resident loss accumulation, drained at every DISPLAY
+        # boundary (see train_combined for why draining must be bounded)
         pending = []
+
+        def to_np(pair):
+            ls_i, mil_i = pair
+            v = np.zeros((6,)) if ls_i is None else self._losses_np(ls_i)
+            if mil_i is not None:
+                v[5] = float(mil_i)
+            return v
+
+        def drain(pending):
+            nonlocal training_loss
+            for p in pending:
+                training_loss += to_np(p)
+            return []
+
         for it in range(self.start_iter, self.max_iters):
             self._maybe_trace(it)
             timer.tic()
@@ -337,27 +361,22 @@ class Solver:
                     self.variables, opt_state_ws,
                     {k: jnp.asarray(b) for k, b in blobs.items()},
                     self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
-            pending.append((ls, mil))
+            last = (ls, mil)
+            pending.append(last)
+            if len(pending) >= 25:  # hard cap independent of DISPLAY
+                pending = drain(pending)
             self._maybe_trace_stop(it)
             timer.toc()
 
-            def to_np(pair):
-                ls_i, mil_i = pair
-                v = np.zeros((6,)) if ls_i is None else self._losses_np(ls_i)
-                if mil_i is not None:
-                    v[5] = float(mil_i)
-                return v
-
             if (it + 1) % cfg.TRAIN.DISPLAY == 0:
-                self._display(it, to_np(pending[-1]))
+                pending = drain(pending)
+                self._display(it, to_np(last))
                 print(f"speed: {timer.average_time:.3f}s / iter")
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
                 self.snapshot(it)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
-                for p in pending:
-                    training_loss += to_np(p)
-                pending = []
+                pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
 

@@ -102,22 +102,34 @@ def main():
 
     # device-resident inputs: a real serving pipeline double-buffers the
     # host->device copy behind the previous step, so steady-state throughput
-    # is the device step time, which is what we measure
-    data = jax.device_put(rng.rand(1, canvas[0], canvas[1], 3)
-                          .astype(np.float32))
+    # is the device step time, which is what we measure.
+    # Methodology notes (hard-won): the remote-attached TPU relay can dedupe
+    # *identical* dispatches, and block_until_ready on a list of independent
+    # outputs does not reliably serialize them — so the loop (a) cycles
+    # through distinct inputs and (b) chains each step on a data-dependent
+    # scalar from the previous step, forcing true sequential execution.
+    import jax.numpy as jnp
+
+    datas = [jax.device_put(rng.rand(1, canvas[0], canvas[1], 3)
+                            .astype(np.float32)) for _ in range(8)]
     im_info = jax.device_put(
         np.array([[canvas[0], canvas[1], 1.0, 0.0]], np.float32))
 
-    out = eng.inference_step(variables, data, im_info)
-    jax.block_until_ready(out)
+    @jax.jit
+    def chained_step(c, data):
+        outs = eng._inference_impl(variables, data + c * 0, im_info)
+        return c + outs[2][0, 0] * 0
 
     iters = max(1, args.iters if not args.cpu else max(3, args.iters // 6))
-    for _ in range(args.warmup):
-        jax.block_until_ready(eng.inference_step(variables, data, im_info))
+    c = jnp.float32(0.0)
+    for i in range(args.warmup + len(datas)):
+        c = chained_step(c, datas[i % len(datas)])
+    jax.block_until_ready(c)
+    c = jnp.float32(0.0)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eng.inference_step(variables, data, im_info)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        c = chained_step(c, datas[i % len(datas)])
+    jax.block_until_ready(c)
     dt = time.perf_counter() - t0
 
     ips = iters / dt

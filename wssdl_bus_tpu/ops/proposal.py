@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
-from wssdl_bus_tpu.ops.nms import nms_indices
+from wssdl_bus_tpu.ops.nms import nms_mask
+from wssdl_bus_tpu.ops.nms_pallas import nms_keep_pallas
 
 
 class Proposals(NamedTuple):
@@ -73,25 +74,38 @@ def proposal_layer_single(rpn_cls_prob: jnp.ndarray,
     min_px = min_size * im_info[2]
     valid = (ws >= min_px) & (hs >= min_px)
 
-    # Top pre_nms_top_n by score among valid boxes.
+    # Top pre_nms_top_n by score among valid boxes.  A single stable payload
+    # sort carries the box coordinates along with the (negated) scores —
+    # replacing top_k + a [pre_n, 4] row gather, which costs ~0.8 ms on TPU
+    # vs ~0.02 ms for the fused sort (rows of 4 floats waste the 128-wide
+    # lanes; the sort network moves whole lane vectors).
     k = min(pre_nms_top_n, scores.shape[0])
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     masked_scores = jnp.where(valid, scores, neg_inf)
-    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
-    top_boxes = proposals[top_idx]
-    top_valid = top_scores > neg_inf
+    sneg, sx1, sy1, sx2, sy2 = jax.lax.sort(
+        (-masked_scores, proposals[:, 0], proposals[:, 1], proposals[:, 2],
+         proposals[:, 3]), num_keys=1)
+    top_scores = -sneg[:k]
+    top_valid = jnp.isfinite(top_scores)
+    boxes_t = jnp.stack([sx1[:k], sy1[:k], sx2[:k], sy2[:k]])   # [4, k]
 
-    # top_k returns values sorted descending -> skip the NMS-internal sort
-    keep_idx, keep_valid = nms_indices(
-        top_boxes, top_scores, top_valid, nms_thresh, post_nms_top_n,
-        presorted=True)
-    out_boxes = top_boxes[keep_idx]
-    out_scores = top_scores[keep_idx]
-    return Proposals(out_boxes, out_scores, keep_valid)
+    if jax.default_backend() == "tpu":
+        keep = nms_keep_pallas(boxes_t, top_valid, nms_thresh)
+    else:
+        keep = nms_mask(jnp.transpose(boxes_t), top_valid, nms_thresh)
+
+    # Stable kept-first selection of the top post_nms_top_n survivors
+    # (score order is preserved within the kept set).
+    rank = jnp.where(keep, jnp.arange(k), k + jnp.arange(k))
+    _, kept_order = jax.lax.top_k(-rank, post_nms_top_n)
+    out_boxes = jnp.transpose(boxes_t[:, kept_order])
+    out_scores = top_scores[kept_order]
+    return Proposals(out_boxes, out_scores, keep[kept_order])
 
 
 @partial(jax.jit, static_argnames=(
-    "num_anchors", "pre_nms_top_n", "post_nms_top_n", "min_size"))
+    "num_anchors", "pre_nms_top_n", "post_nms_top_n", "nms_thresh",
+    "min_size"))
 def proposal_layer(rpn_cls_prob: jnp.ndarray,
                    rpn_bbox_pred: jnp.ndarray,
                    im_info: jnp.ndarray,

@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="measure the CPU baseline instead of the accelerator")
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
@@ -78,15 +78,15 @@ def main():
                 np.float32)),
         }
         key, lr = jax.random.PRNGKey(1), jnp.float32(5e-4)
-        out = eng.train_step(variables, opt_state, batch, key, lr,
-                             jnp.int32(0))
-        jax.block_until_ready(out)
+        variables, opt_state, ls = eng.train_step(
+            variables, opt_state, batch, key, lr, jnp.int32(0))
+        float(ls.total)  # hard sync (see the inference methodology notes)
         iters = max(5, args.iters)
         t0 = time.perf_counter()
         for i in range(iters):
             variables, opt_state, ls = eng.train_step(
                 variables, opt_state, batch, key, lr, jnp.int32(i))
-        jax.block_until_ready((variables, opt_state))
+        float(ls.total)  # the chain runs through variables/opt_state
         dt = (time.perf_counter() - t0) / iters
         # measured on this host with `python bench.py --train --cpu`:
         # 0.003 iters/sec (338 s/iter) for the identical jitted step
@@ -103,11 +103,14 @@ def main():
     # device-resident inputs: a real serving pipeline double-buffers the
     # host->device copy behind the previous step, so steady-state throughput
     # is the device step time, which is what we measure.
-    # Methodology notes (hard-won): the remote-attached TPU relay can dedupe
-    # *identical* dispatches, and block_until_ready on a list of independent
-    # outputs does not reliably serialize them — so the loop (a) cycles
-    # through distinct inputs and (b) chains each step on a data-dependent
-    # scalar from the previous step, forcing true sequential execution.
+    # Methodology notes (hard-won, for the remote-attached TPU relay):
+    #   * identical dispatches can be deduped and block_until_ready does not
+    #     reliably wait, so each step PERTURBS its input with a genuinely
+    #     data-dependent scalar from the previous step (a real chain — a
+    #     `c * 0` term gets constant-folded and severs it), and the only
+    #     trustworthy sync is a device->host value fetch;
+    #   * a fetch costs a ~30-50 ms round trip, so we run a long chain with
+    #     ONE final fetch and subtract the separately measured fetch RTT.
     import jax.numpy as jnp
 
     datas = [jax.device_put(rng.rand(1, canvas[0], canvas[1], 3)
@@ -117,20 +120,32 @@ def main():
 
     @jax.jit
     def chained_step(c, data):
-        outs = eng._inference_impl(variables, data + c * 0, im_info)
-        return c + outs[2][0, 0] * 0
+        outs = eng._inference_impl(variables, data + c * 1e-9, im_info)
+        return c + outs[2][0, 0] * 1e-9
 
-    iters = max(1, args.iters if not args.cpu else max(3, args.iters // 6))
+    @jax.jit
+    def trivial(c):
+        return c + 1.0
+
+    iters = max(1, (args.iters if not args.cpu
+                    else max(3, args.iters // 6)))
     c = jnp.float32(0.0)
     for i in range(args.warmup + len(datas)):
         c = chained_step(c, datas[i % len(datas)])
-    jax.block_until_ready(c)
+    float(c)  # hard sync
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(jnp.float32(time.perf_counter())))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
     c = jnp.float32(0.0)
     t0 = time.perf_counter()
     for i in range(iters):
         c = chained_step(c, datas[i % len(datas)])
-    jax.block_until_ready(c)
-    dt = time.perf_counter() - t0
+    float(c)  # hard sync
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     ips = iters / dt
     platform = jax.devices()[0].platform

@@ -28,6 +28,11 @@ suppression bitmask:
 This replaced an earlier 128-wide blocked-greedy sweep (N sequential steps):
 8.5 ms -> ~1 ms for the 6000-box test budget on a v5e chip, with bit-exact
 greedy semantics (oracle-tested against the pure-numpy reference kernel).
+
+On TPU the proposal layer now uses the VMEM-resident Pallas kernel in
+``ops/nms_pallas.py`` instead (~0.09 ms at the same budget); this XLA
+formulation remains the portable path (CPU tests, non-TPU backends) and the
+semantics oracle both implementations are tested against.
 """
 
 from __future__ import annotations

@@ -21,9 +21,11 @@ argmax routing and accumulates into a VMEM-resident dfeat across the
 sequential grid, one [SPAN_H, W, C] update per (roi, row-bin).
 
 Measured on one v5e chip at training shapes (2 images x 2000 rois, C=512,
-38x50 features): forward 15.5 ms vs 145 ms for the jit fallback; fwd+bwd
-~30 ms vs 458 ms (12.6 fwd + ~20 bwd per profiler trace).  Full train step
-644 -> 88 ms/iter.
+38x50 features): forward 6.3 ms vs 145 ms for the jit fallback (15.5 ms
+before the additive-mask + windowed-stage-2 rework, see _fwd_kernel);
+fwd+bwd 32 ms with dense cotangents vs 458 ms — the real train step's MIL
+sparsity skips ~99.8% of the weak-roi scatters.  Full train step
+644 -> 50 ms/iter over the kernel's history.
 
 Use ``roi_pool_grouped`` below: it dispatches to this kernel on TPU and to
 the jit fallback elsewhere (tests compare both against the numpy oracle).
@@ -70,18 +72,33 @@ def _quantize(rois_ref, r, spatial_scale):
 
 
 def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
-                spatial_scale, span_h, span_w):
+                spatial_scale, span_h, span_w, wspan):
     """Separable pool: per roi, stage 1 reduces each row-bin's [span_h, W, C]
-    H-slice into rows_ref [Ph, W, C] (dynamic slicing only along H — Mosaic
-    forbids unaligned dynamic slices on the sublane/W axis), stage 2 reduces
-    rows under each column-bin's full-W mask."""
+    H-slice into rows_ref [Ph, W_pad, C] (dynamic slicing only along H —
+    Mosaic allows unaligned dynamic slices only on non-tiled axes), stage 2
+    reduces an 8-ALIGNED [Ph, wspan, C] column window per column bin (aligned
+    sublane slices are fine), instead of masking the full width: at W=50,
+    Ph=Pw=7 that is 3x less stage-2 work.  Masking is ADDITIVE — a
+    [span, 1, 1] f32 offset of 0 / -1e30 broadcast-added before the max —
+    one add+max pass where the old mult/mult/sub/max formulation paid four
+    (Mosaic cannot broadcast 8-bit bools across an inserted minor dim, so a
+    jnp.where on a bool mask is not available).  Combined: 13.0 -> 6.3 ms at
+    the 2x2000-roi train shapes, 1.03 -> 0.41 ms at 300 test rois."""
     h, w, c = feat_ref.shape
-    # 32-bit arithmetic masking throughout: Mosaic cannot broadcast 8-bit
-    # (bool) values across an inserted minor dim, so validity enters as f32
-    # 0/1 factors with a -1e30 "masked" sentinel instead of jnp.where(-inf)
+    w_pad = rows_ref.shape[1]
     iota_sh = jax.lax.broadcasted_iota(jnp.int32, (span_h, 1, 1), 0)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, w, 1), 1)
+    iota_ws = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, wspan, 1), 1)
     big = jnp.float32(1e30)
+
+    # the [w, w_pad) tail of the rows scratch is never written by stage 1 but
+    # can be read by a clipped stage-2 window: keep it at a finite constant
+    # (garbage would poison the max; masked lanes only need to stay <= -big
+    # after the additive offset)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        if w_pad > w:
+            rows_ref[:, w:, :] = jnp.full((pooled_h, w_pad - w, c), -big,
+                                          rows_ref.dtype)
 
     def roi_body(r, _):
         rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
@@ -89,19 +106,21 @@ def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
             sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
                                          jnp.int32(i), h, span_h)
             win = feat_ref[pl.ds(sh, span_h), :, :]
-            hv = ((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h)) \
-                .astype(jnp.float32)
-            ne_h = (hi_h > lo_h).astype(jnp.float32)   # scalar 0/1
+            off_h = (((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h))
+                     .astype(jnp.float32) - 1.0) * big    # 0 in-bin, -big out
+            ne_h = (hi_h > lo_h).astype(jnp.float32)      # scalar 0/1
             # empty h-bin -> whole row zeroed (-1e30 * 0), matching the
             # reference's empty-bin-outputs-0 path
-            rows_ref[i] = jnp.max(win * hv - (1.0 - hv) * big, axis=0) * ne_h
-        rows = rows_ref[:]                                   # [Ph, W, C]
+            rows_ref[i, :w, :] = jnp.max(win + off_h, axis=0) * ne_h
         for j in range(pooled_w):
             _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
                                         jnp.int32(j), w, span_w)
-            wv = ((iota_w >= lo_w) & (iota_w < hi_w)).astype(jnp.float32)
+            base = pl.multiple_of((lo_w // 8) * 8, 8)
+            rows_win = rows_ref[:, pl.ds(base, wspan), :]
+            off_w = (((iota_ws + base >= lo_w) & (iota_ws + base < hi_w))
+                     .astype(jnp.float32) - 1.0) * big
             ne_w = (hi_w > lo_w).astype(jnp.float32)
-            m = jnp.max(rows * wv - (1.0 - wv) * big, axis=1)  # [Ph, C]
+            m = jnp.max(rows_win + off_w, axis=1)          # [Ph, C]
             out_ref[pl.ds(r, 1), :, j, :] = (m * ne_w)[None]
         return 0
 
@@ -148,17 +167,19 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
                 # zeros in practice, where the gradient dies in the ReLU
                 # backward regardless of placement.
                 win = feat_ref[pl.ds(sh, span_h), :, :]
-                hv = ((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h)) \
-                    .astype(jnp.float32)
-                masked_win = win * hv - (1.0 - hv) * big
+                # additive masking (0 in-bin, -1e30 out), one add instead of
+                # mult/mult/sub — see the forward kernel note
+                off_h = (((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h))
+                         .astype(jnp.float32) - 1.0) * big
+                masked_win = win + off_h
                 rows_i = jnp.max(masked_win, axis=0)         # [W, C]
                 g_rows = jnp.zeros((w, c), jnp.float32)
                 for j in range(pooled_w):
                     _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
                                                 jnp.int32(j), w, span_w)
-                    wv = ((iota_w2 >= lo_w) & (iota_w2 < hi_w)) \
-                        .astype(jnp.float32)                 # [W, 1]
-                    masked_rows = rows_i * wv - (1.0 - wv) * big
+                    off_w = (((iota_w2 >= lo_w) & (iota_w2 < hi_w))
+                             .astype(jnp.float32) - 1.0) * big  # [W, 1]
+                    masked_rows = rows_i + off_w
                     # jnp.argmax returns the FIRST maximum — one pass
                     # instead of max + equality + argmax-of-equality
                     am_w = jnp.argmax(masked_rows, axis=0)   # [C]
@@ -179,6 +200,18 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
 
 def _spans(h, w, pooled_h, pooled_w):
     return h // pooled_h + 2, w // pooled_w + 2
+
+
+def _wspan(w, span_w):
+    """Aligned stage-2 window: must cover any [lo_w, hi_w) bin (width <=
+    span_w) whose start is rounded down to a multiple of 8 (<= 7 slack)."""
+    return 8 * ((span_w + 7 + 7) // 8)
+
+
+def _w_pad(w, wspan):
+    """Rows-scratch width: the window base can be as high as (w // 8) * 8
+    (an empty edge bin has lo_w == w)."""
+    return (w // 8) * 8 + wspan
 
 
 def _pad_rois(rois):
@@ -203,9 +236,11 @@ def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
     cb = _c_block(c)
     rois_p, p = _pad_rois(rois)
     grid = (c // cb, rois_p.shape[0] // ROI_BLOCK)
+    wspan = _wspan(w, span_w)
     out = pl.pallas_call(
         partial(_fwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
-                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w),
+                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w,
+                wspan=wspan),
         out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], pooled_h, pooled_w,
                                         c), feat.dtype),
         grid=grid,
@@ -218,7 +253,8 @@ def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
         out_specs=pl.BlockSpec((ROI_BLOCK, pooled_h, pooled_w, cb),
                                lambda ci, k: (k, 0, 0, ci),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((pooled_h, w, cb), feat.dtype)],
+        scratch_shapes=[pltpu.VMEM((pooled_h, _w_pad(w, wspan), cb),
+                                   feat.dtype)],
         interpret=interpret,
     )(rois_p, feat)
     return out[:p]

@@ -88,3 +88,28 @@ def load_train_data(args, cfg: Config):
 def seed_all(args, cfg: Config):
     if not args.randomize:
         np.random.seed(cfg.RNG_SEED)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache for the CLIs: a cold train CLI spends
+    minutes compiling the fused train/eval/inference programs; cached, later
+    runs of the same canvas/budgets start in seconds.  (The reference has no
+    analog — TF1 sessions rebuilt the graph per process too, but its graph
+    construction was cheap because all detection ops ran as py_funcs.)
+    Override the location with WSSDL_JAX_CACHE_DIR; set it empty to disable.
+    """
+    import os
+
+    cache = os.environ.get(
+        "WSSDL_JAX_CACHE_DIR",
+        os.path.expanduser("~/.cache/wssdl_bus_tpu/jax-cache"))
+    if not cache:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compilation cache disabled: {e}")

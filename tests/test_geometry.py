@@ -132,3 +132,57 @@ def test_nms_mask_block_sizes(rng):
     for bs in (32, 128, 256):
         np.testing.assert_array_equal(
             np.asarray(nms_mask(sb, valid, 0.6, block_size=bs)), ref)
+
+
+def test_nms_new_containment(rng):
+    """nms_new (reference utils/nms.pyx:71-123): suppress on IoU >= thresh OR
+    >95% containment in either direction."""
+    from wssdl_bus_tpu.evaluate.detect import nms_new_numpy, nms_numpy
+
+    # A tiny box fully inside a big one: IoU is small (survives plain NMS)
+    # but inter/area_small = 1 > 0.95 so nms_new drops it.
+    dets = np.array([
+        [0, 0, 299, 299, 0.9],     # big, highest score
+        [100, 100, 129, 129, 0.8], # tiny, fully contained
+        [400, 400, 499, 499, 0.7], # far away, kept
+    ], np.float32)
+    assert nms_numpy(dets, 0.5) == [0, 1, 2]
+    assert nms_new_numpy(dets, 0.5) == [0, 2]
+
+    # Random fuzz: nms_new keep-set == brute-force greedy sweep per spec.
+    for _ in range(20):
+        n = 40
+        boxes = _rand_boxes(rng, n, scale=300.0)
+        scores = rng.rand(n).astype(np.float32)
+        dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+        x1, y1, x2, y2 = boxes.T
+        areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+        order = list(scores.argsort()[::-1])
+        expect, supp = [], set()
+        for i in order:
+            if i in supp:
+                continue
+            expect.append(int(i))
+            for j in order:
+                if j in supp or scores[j] > scores[i] or j == i:
+                    continue
+                iw = max(0.0, min(x2[i], x2[j]) - max(x1[i], x1[j]) + 1)
+                ih = max(0.0, min(y2[i], y2[j]) - max(y1[i], y1[j]) + 1)
+                inter = iw * ih
+                iou = inter / (areas[i] + areas[j] - inter)
+                if iou >= 0.4 or inter / areas[i] > 0.95 or inter / areas[j] > 0.95:
+                    supp.add(j)
+        assert nms_new_numpy(dets, 0.4) == expect
+
+
+def test_get_output_dir(tmp_path):
+    from wssdl_bus_tpu.config import Config, get_direct_output_dir, get_output_dir
+
+    cfg = Config().with_overrides(
+        ["ROOT_DIR", repr(str(tmp_path)), "EXP_DIR", "'exp1'"])
+    d = get_output_dir("bus_test", "vgg16_iter_100", cfg)
+    assert d.endswith("output/exp1/bus_test/vgg16_iter_100")
+    import os
+    assert os.path.isdir(d)
+    d2 = get_direct_output_dir("plots", cfg)
+    assert d2.endswith("output/exp1/plots") and os.path.isdir(d2)

@@ -140,6 +140,7 @@ class Config:
     EPS: float = 1e-14
     DATA_DIR: str = "/root/reference/SNUBH_BUS"
     EXP_DIR: str = ""
+    ROOT_DIR: str = "."          # base for get_output_dir (config.py:296)
     USE_GPU_NMS: bool = False    # kept for config-surface parity; meaningless on TPU
 
     # TPU-specific additions (not in the reference):
@@ -222,3 +223,30 @@ def _replace_path(obj, parts, value):
 # Unlike the reference's mutable global ``cfg``, this is immutable; code paths
 # thread an explicit Config through instead.
 DEFAULT = Config()
+
+
+def get_output_dir(imdb, weights_filename=None, cfg: Config = DEFAULT) -> str:
+    """Canonical experiment-artifact directory, created on first use:
+    ``<ROOT_DIR>/output/<EXP_DIR>/<imdb.name>[/<weights_filename>]``
+    (reference ``get_output_dir``, config.py:324-337)."""
+    import os
+
+    name = imdb if isinstance(imdb, str) else imdb.name
+    outdir = os.path.abspath(
+        os.path.join(cfg.ROOT_DIR, "output", cfg.EXP_DIR, name))
+    if weights_filename is not None:
+        outdir = os.path.join(outdir, weights_filename)
+    os.makedirs(outdir, exist_ok=True)
+    return outdir
+
+
+def get_direct_output_dir(name, cfg: Config = DEFAULT) -> str:
+    """``<ROOT_DIR>/output/<EXP_DIR>[/<name>]`` (reference
+    ``get_direct_output_dir``, config.py:339-350)."""
+    import os
+
+    outdir = os.path.abspath(os.path.join(cfg.ROOT_DIR, "output", cfg.EXP_DIR))
+    if name is not None:
+        outdir = os.path.join(outdir, name)
+    os.makedirs(outdir, exist_ok=True)
+    return outdir

@@ -61,6 +61,35 @@ def nms_numpy(dets: np.ndarray, thresh: float) -> list:
     return keep
 
 
+def nms_new_numpy(dets: np.ndarray, thresh: float) -> list:
+    """Greedy NMS with extra containment suppression: besides IoU >= thresh,
+    a lower-scoring box is also dropped when either box covers >95% of the
+    other (inter/area_kept > 0.95 or inter/area_other > 0.95) — the
+    reference's ``nms_new`` (``utils/nms.pyx:71-123``; exported but unused on
+    live paths, kept for API parity)."""
+    if len(dets) == 0:
+        return []
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = dets[:, 4].argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        rest = order[1:]
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        inter = (np.maximum(0.0, xx2 - xx1 + 1)
+                 * np.maximum(0.0, yy2 - yy1 + 1))
+        ovr = inter / (areas[i] + areas[rest] - inter)
+        drop = (ovr >= thresh) | (inter / areas[i] > 0.95) \
+            | (inter / areas[rest] > 0.95)
+        order = rest[~drop]
+    return keep
+
+
 def get_image_blob(im: np.ndarray, net_name: str, cfg, canvas_hw):
     """Single test image -> (padded [1,Hc,Wc,3] blob, im_scale, (h', w'))."""
     rng = np.random.RandomState(0)  # unused: single test scale

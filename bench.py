@@ -48,6 +48,12 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent XLA compilation cache: the fused inference/train programs
+    # take minutes to compile cold on the remote-attached TPU; cached, a
+    # bench rerun starts in seconds.
+    from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from wssdl_bus_tpu.config import Config
     from wssdl_bus_tpu.models.detector import build_detector
     from wssdl_bus_tpu.train.engine import Engine

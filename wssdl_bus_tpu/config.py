@@ -140,7 +140,12 @@ class Config:
     EPS: float = 1e-14
     DATA_DIR: str = "/root/reference/SNUBH_BUS"
     EXP_DIR: str = ""
-    ROOT_DIR: str = "."          # base for get_output_dir (config.py:296)
+    # Base for get_output_dir.  Deliberate deviation: the reference anchors
+    # this at its checkout root (config.py:296); an installed package has no
+    # checkout, so artifacts default to the invoking directory, like most
+    # CLI tools.  Set ROOT_DIR (or pass explicit --output_dir) for a fixed
+    # location.
+    ROOT_DIR: str = "."
     USE_GPU_NMS: bool = False    # kept for config-surface parity; meaningless on TPU
 
     # TPU-specific additions (not in the reference):

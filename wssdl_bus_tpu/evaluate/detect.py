@@ -30,45 +30,11 @@ from wssdl_bus_tpu.data.augment import prep_image
 from wssdl_bus_tpu.utils.timer import Timer
 
 
-def nms_numpy(dets: np.ndarray, thresh: float) -> list:
-    """Greedy IoU NMS, identical to the reference Cython kernel
-    (``nms/cpu_nms.pyx:17-68``, +1 pixel area convention).  Dispatches to the
-    native C++ kernel (native/wssdl_native.cc) when built, like the
-    reference's nms_wrapper.py dispatch."""
-    if len(dets) == 0:
-        return []
-    order0 = dets[:, 4].argsort()[::-1]
-    from wssdl_bus_tpu import native
-    kept = native.nms(dets[order0], thresh)
-    if kept is not None:
-        return [int(order0[i]) for i in kept]
-    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
-    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort()[::-1]
-    keep = []
-    while order.size > 0:
-        i = order[0]
-        keep.append(int(i))
-        xx1 = np.maximum(x1[i], x1[order[1:]])
-        yy1 = np.maximum(y1[i], y1[order[1:]])
-        xx2 = np.minimum(x2[i], x2[order[1:]])
-        yy2 = np.minimum(y2[i], y2[order[1:]])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        inter = w * h
-        ovr = inter / (areas[i] + areas[order[1:]] - inter)
-        order = order[1:][ovr <= thresh]
-    return keep
-
-
-def nms_new_numpy(dets: np.ndarray, thresh: float) -> list:
-    """Greedy NMS with extra containment suppression: besides IoU >= thresh,
-    a lower-scoring box is also dropped when either box covers >95% of the
-    other (inter/area_kept > 0.95 or inter/area_other > 0.95) — the
-    reference's ``nms_new`` (``utils/nms.pyx:71-123``; exported but unused on
-    live paths, kept for API parity)."""
-    if len(dets) == 0:
-        return []
+def _greedy_nms(dets: np.ndarray, thresh: float, containment: bool) -> list:
+    """Shared greedy sweep.  Suppresses at IoU >= thresh (the reference
+    Cython convention, ``nms/cpu_nms.pyx:65``); with ``containment`` also
+    drops a box when either box covers >95% of the other
+    (``utils/nms.pyx:118-120``)."""
     x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
     order = dets[:, 4].argsort()[::-1]
@@ -84,10 +50,37 @@ def nms_new_numpy(dets: np.ndarray, thresh: float) -> list:
         inter = (np.maximum(0.0, xx2 - xx1 + 1)
                  * np.maximum(0.0, yy2 - yy1 + 1))
         ovr = inter / (areas[i] + areas[rest] - inter)
-        drop = (ovr >= thresh) | (inter / areas[i] > 0.95) \
-            | (inter / areas[rest] > 0.95)
+        drop = ovr >= thresh
+        if containment:
+            drop |= (inter / areas[i] > 0.95) | (inter / areas[rest] > 0.95)
         order = rest[~drop]
     return keep
+
+
+def nms_numpy(dets: np.ndarray, thresh: float) -> list:
+    """Greedy IoU NMS, identical to the reference Cython kernel
+    (``nms/cpu_nms.pyx:17-68``, +1 pixel area convention).  Dispatches to the
+    native C++ kernel (native/wssdl_native.cc) when built, like the
+    reference's nms_wrapper.py dispatch."""
+    if len(dets) == 0:
+        return []
+    order0 = dets[:, 4].argsort()[::-1]
+    from wssdl_bus_tpu import native
+    kept = native.nms(dets[order0], thresh)
+    if kept is not None:
+        return [int(order0[i]) for i in kept]
+    return _greedy_nms(dets, thresh, containment=False)
+
+
+def nms_new_numpy(dets: np.ndarray, thresh: float) -> list:
+    """Greedy NMS with extra containment suppression: besides IoU >= thresh,
+    a lower-scoring box is also dropped when either box covers >95% of the
+    other (inter/area_kept > 0.95 or inter/area_other > 0.95) — the
+    reference's ``nms_new`` (``utils/nms.pyx:71-123``; exported but unused on
+    live paths, kept for API parity)."""
+    if len(dets) == 0:
+        return []
+    return _greedy_nms(dets, thresh, containment=True)
 
 
 def get_image_blob(im: np.ndarray, net_name: str, cfg, canvas_hw):

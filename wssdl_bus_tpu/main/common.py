@@ -91,25 +91,7 @@ def seed_all(args, cfg: Config):
     enable_compilation_cache()
 
 
-def enable_compilation_cache():
-    """Persistent XLA compilation cache for the CLIs: a cold train CLI spends
-    minutes compiling the fused train/eval/inference programs; cached, later
-    runs of the same canvas/budgets start in seconds.  (The reference has no
-    analog — TF1 sessions rebuilt the graph per process too, but its graph
-    construction was cheap because all detection ops ran as py_funcs.)
-    Override the location with WSSDL_JAX_CACHE_DIR; set it empty to disable.
-    """
-    import os
-
-    cache = os.environ.get(
-        "WSSDL_JAX_CACHE_DIR",
-        os.path.expanduser("~/.cache/wssdl_bus_tpu/jax-cache"))
-    if not cache:
-        return
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # cache is an optimization, never fatal
-        print(f"compilation cache disabled: {e}")
+# Re-exported for backwards compatibility; the implementation lives in the
+# leaf module utils/xla_cache.py so bench/entry scripts can enable the cache
+# without importing the CLI plumbing (numpy, PIL, dataset layer).
+from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache  # noqa: E402,F401

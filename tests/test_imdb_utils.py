@@ -83,3 +83,29 @@ def test_solver_resume(tmp_path):
     assert s2.start_iter == 2
     s2.train_combined()
     assert any("_iter_3" in d for d in os.listdir(tmp_path))
+
+
+def test_get_test_roidb_and_data_layer_factory():
+    """Function-level API parity: get_test_roidb (test_bus.py:416) and
+    get_data_layer (train_bus.py:1037)."""
+    from wssdl_bus_tpu.config import Config
+    from wssdl_bus_tpu.data import get_data_layer, get_imdb, get_test_roidb
+
+    imdb = get_imdb("bus_test", DATA)
+    roidb = get_test_roidb(imdb)
+    assert len(roidb) == imdb.num_images
+    assert all("max_overlaps" in e and "image" in e for e in roidb)
+
+    cfg = Config().with_overrides([
+        "TRAIN.SCALES", "(150,)", "TRAIN.MAX_SIZE", "250"])
+    canvas = (160, 256)
+    rng = np.random.RandomState(0)
+    layer = get_data_layer(roidb, "VGGnet_train", cfg, canvas,
+                           is_training=True, is_ws=False, rng=rng)
+    blobs = layer.forward()
+    assert blobs["data"].shape[0] == cfg.TRAIN.IMS_PER_BATCH
+    joint = get_data_layer((roidb, roidb), "VGGnet_train", cfg, canvas,
+                           is_training=True, is_joint=True, rng=rng)
+    blobs = joint.forward()
+    assert blobs["data"].shape[0] == (cfg.TRAIN.IMS_PER_BATCH
+                                      + cfg.TRAIN.WS_IMS_PER_BATCH)

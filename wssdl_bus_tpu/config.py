@@ -140,6 +140,13 @@ class Config:
     EPS: float = 1e-14
     DATA_DIR: str = "/root/reference/SNUBH_BUS"
     EXP_DIR: str = ""
+    # Surface-parity keys (reference config.py:277,292,306): the multiscale
+    # path raises NotImplementedError in the reference too, and MATLAB eval
+    # is never invoked; kept so override lists/YAMLs written for the
+    # reference parse unchanged.
+    IS_MULTISCALE: bool = False
+    MATLAB: str = "matlab"
+    MODELS_DIR: str = "models"
     # Base for get_output_dir.  Deliberate deviation: the reference anchors
     # this at its checkout root (config.py:296); an installed package has no
     # checkout, so artifacts default to the invoking directory, like most

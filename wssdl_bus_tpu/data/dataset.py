@@ -275,3 +275,9 @@ def get_imdb(name: str, data_dir: str, cache_dir: Optional[str] = None
         raise KeyError(f"Unknown dataset: {name}")
     split = name[len("bus_"):]
     return BusDataset(split, data_dir, cache_dir)
+
+
+def get_test_roidb(imdb: "BusDataset"):
+    """Prepare a roidb for inference — no flip augmentation
+    (reference ``get_test_roidb``, test_bus.py:416-430)."""
+    return prepare_roidb(imdb)

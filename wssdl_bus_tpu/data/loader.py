@@ -120,3 +120,15 @@ class Prefetcher:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+
+
+def get_data_layer(roidbs, net_name, cfg, canvas_hw, is_training,
+                   is_ws=False, is_joint=False, rng=None):
+    """Data-layer factory (reference ``get_data_layer``,
+    train_bus.py:1037-1053): joint -> RoIDataLayerJoint over (roidb_s,
+    roidb_ws); otherwise a single RoIDataLayer."""
+    if is_joint:
+        return RoIDataLayerJoint(roidbs[0], roidbs[1], net_name, cfg,
+                                 canvas_hw, rng=rng)
+    return RoIDataLayer(roidbs, net_name, cfg, canvas_hw,
+                        is_training=is_training, is_ws=is_ws, rng=rng)

@@ -36,24 +36,15 @@ def main():
         load_train_data(args, cfg)
     print(f"static canvas: {canvas}")
 
-    from wssdl_bus_tpu.models.detector import build_detector
-    from wssdl_bus_tpu.train.engine import Engine
-    from wssdl_bus_tpu.train.solver import Solver
+    from wssdl_bus_tpu.train.solver import train_net
 
-    model = build_detector(args.network, args.net_depth, args.norm_type,
-                           num_classes=3)
-    # combined regime selector pair: [mal_max, mal_max] (train_bus.py:656)
-    eng = Engine(model, cfg, canvas, dataset=args.dataset, opt_name=args.opt,
-                 selector_pair=("mal_max", "mal_max"))
-    solver = Solver(eng, cfg, args.network, roidb_s, roidb_ws, imdb_test,
-                    roidb_test, args.output_dir,
-                    lr_scheduling=args.lr_scheduling,
-                    max_iters=args.max_iters,
-                    pretrained=args.pretrained_model,
-                    use_prefetch=not args.no_prefetch, vis=args.qual_res,
-                    resume=args.resume)
-    solver.train_combined()
-    print("done solving")
+    train_net(args.network, roidb_s, roidb_ws, imdb_test, roidb_test,
+              args.output_dir, pretrained_model=args.pretrained_model,
+              max_iters=args.max_iters, opt=args.opt, lr=args.lr,
+              lr_scheduling=args.lr_scheduling, vis=args.qual_res,
+              cfg=cfg, net_depth=args.net_depth, norm_type=args.norm_type,
+              dataset=args.dataset, canvas_hw=canvas,
+              use_prefetch=not args.no_prefetch, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -32,26 +32,21 @@ def main():
         load_train_data(args, cfg)
     print(f"static canvas: {canvas}")
 
-    from wssdl_bus_tpu.models.detector import build_detector
-    from wssdl_bus_tpu.train.engine import Engine
-    from wssdl_bus_tpu.train.solver import Solver
+    from wssdl_bus_tpu.train.solver import train_net_alter
 
-    model = build_detector(args.network, args.net_depth, args.norm_type,
-                           num_classes=3)
-    # supervised steps carry batch IMS_PER_BATCH with no weak images
-    eng = Engine(model, cfg, canvas, num_ws=0, dataset=args.dataset,
-                 opt_name=args.opt,
-                 selector_pair=("mass_max", "mal_max"))
-    solver = Solver(eng, cfg, args.network, roidb_s, roidb_ws, imdb_test,
-                    roidb_test, args.output_dir,
-                    lr_scheduling=args.lr_scheduling,
+    train_net_alter(args.network, roidb_s, roidb_ws, imdb_test, roidb_test,
+                    args.output_dir, pretrained_model=args.pretrained_model,
                     max_iters=args.max_iters,
-                    pretrained=args.pretrained_model,
-                    use_prefetch=not args.no_prefetch, vis=args.qual_res,
+                    s_start_iter=args.s_start_iter,
+                    s_end_iter=args.s_end_iter,
+                    ws_start_iter=args.ws_start_iter,
+                    ws_end_iter=args.ws_end_iter,
+                    opt=args.opt, lr=args.lr,
+                    lr_scheduling=args.lr_scheduling, vis=args.qual_res,
+                    cfg=cfg, net_depth=args.net_depth,
+                    norm_type=args.norm_type, dataset=args.dataset,
+                    canvas_hw=canvas, use_prefetch=not args.no_prefetch,
                     resume=args.resume)
-    solver.train_alternating(args.s_start_iter, args.s_end_iter,
-                             args.ws_start_iter, args.ws_end_iter)
-    print("done solving")
 
 
 if __name__ == "__main__":

@@ -386,3 +386,78 @@ class Solver:
             layer_s.close()
             layer_ws.close()
         self.logger.close()
+
+
+# ---------------------------------------------------------------------- #
+# Function-level entry points (reference train_bus.py:1055-1088)
+# ---------------------------------------------------------------------- #
+def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
+                  roidb_test, output_dir, pretrained_model, opt, lr,
+                  lr_scheduling, vis, max_iters, cfg, net_depth, norm_type,
+                  dataset, canvas_hw, num_ws, selector_pair, use_prefetch,
+                  resume):
+    from wssdl_bus_tpu.data.augment import max_canvas
+    from wssdl_bus_tpu.models.detector import build_detector
+
+    cfg = (Config() if cfg is None else cfg).with_overrides(
+        ["TRAIN.LEARNING_RATE", str(lr)])
+    if canvas_hw is None:
+        sizes = [(e["height"], e["width"])
+                 for e in roidb_train_s + roidb_train_ws + roidb_test]
+        canvas_hw = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE)
+    model = build_detector(network, net_depth, norm_type, num_classes=3)
+    eng = Engine(model, cfg, canvas_hw, num_ws=num_ws, dataset=dataset,
+                 opt_name=opt, selector_pair=selector_pair)
+    return Solver(eng, cfg, network, roidb_train_s, roidb_train_ws, imdb_test,
+                  roidb_test, output_dir, lr_scheduling=lr_scheduling,
+                  max_iters=max_iters, pretrained=pretrained_model,
+                  use_prefetch=use_prefetch, vis=vis, resume=resume)
+
+
+def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
+              output_dir, pretrained_model=None, max_iters=80000,
+              s_start_iter=0, s_end_iter=80000, ws_start_iter=0,
+              ws_end_iter=80000, opt="adam", lr=5e-4, lr_scheduling="const",
+              vis=False, *, cfg=None, net_depth=18, norm_type="BN",
+              dataset="SNUBH", canvas_hw=None, use_prefetch=True,
+              resume=False) -> Solver:
+    """Combined-minibatch training (reference ``train_net``,
+    train_bus.py:1073-1088).  The s/ws window arguments are accepted for
+    signature parity; like the reference's ``train_model`` they are unused in
+    the combined regime.  Differences: the network is a factory name (we build
+    the model here — no TF session), plus keyword-only extras for config,
+    canvas and resume."""
+    del s_start_iter, s_end_iter, ws_start_iter, ws_end_iter  # parity only
+    solver = _build_solver(
+        network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
+        output_dir, pretrained_model, opt, lr, lr_scheduling, vis, max_iters,
+        cfg, net_depth, norm_type, dataset, canvas_hw,
+        num_ws=None, selector_pair=("mal_max", "mal_max"),
+        use_prefetch=use_prefetch, resume=resume)
+    print("Solving...")
+    solver.train_combined()
+    print("done solving")
+    return solver
+
+
+def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
+                    roidb_test, output_dir, pretrained_model=None,
+                    max_iters=80000, s_start_iter=0, s_end_iter=80000,
+                    ws_start_iter=0, ws_end_iter=80000, opt="adam", lr=5e-4,
+                    lr_scheduling="const", vis=False, *, cfg=None,
+                    net_depth=18, norm_type="BN", dataset="SNUBH",
+                    canvas_hw=None, use_prefetch=True, resume=False) -> Solver:
+    """Alternating-minibatch training (reference ``train_net_alter``,
+    train_bus.py:1055-1070).  Supervised-only training: pass
+    ``ws_start_iter > max_iters`` (train_alter.py:3-5)."""
+    solver = _build_solver(
+        network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
+        output_dir, pretrained_model, opt, lr, lr_scheduling, vis, max_iters,
+        cfg, net_depth, norm_type, dataset, canvas_hw,
+        num_ws=0, selector_pair=("mass_max", "mal_max"),
+        use_prefetch=use_prefetch, resume=resume)
+    print("Solving...")
+    solver.train_alternating(s_start_iter, s_end_iter, ws_start_iter,
+                             ws_end_iter)
+    print("done solving")
+    return solver

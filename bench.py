@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the combined TRAIN step instead "
                          "(1 supervised + 2 weak images, full budgets)")
+    ap.add_argument("--network", default="VGGnet_train",
+                    help="VGGnet_train or Resnet_train (see --net_depth)")
+    ap.add_argument("--net_depth", type=int, default=18,
+                    help="ResNet depth (18/34/50/101)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -60,8 +64,12 @@ def main():
 
     cfg = Config()
     canvas = (608, 800)
-    model = build_detector("VGGnet_train", num_classes=3,
+    model = build_detector(args.network, args.net_depth, num_classes=3,
                            compute_dtype="bfloat16" if args.bf16 else None)
+    net_tag = ("vgg16" if args.network.startswith("VGGnet")
+               else f"resnet{args.net_depth}")
+    if args.bf16:
+        net_tag += "_bf16"
     eng = Engine(model, cfg, canvas)
     variables, _ = eng.init(jax.random.PRNGKey(0))
 
@@ -98,7 +106,7 @@ def main():
         # 0.003 iters/sec (338 s/iter) for the identical jitted step
         cpu_train_baseline = 0.003
         print(json.dumps({
-            "metric": "vgg16_frcnn_train_iters_per_sec_"
+            "metric": f"{net_tag}_frcnn_train_iters_per_sec_"
                       f"{jax.devices()[0].platform}",
             "value": round(1.0 / dt, 3),
             "unit": "iters/sec",
@@ -160,7 +168,7 @@ def main():
               f"({dt / iters * 1e3:.1f} ms/image) — pin this into "
               f"CPU_BASELINE_IMAGES_PER_SEC", file=sys.stderr)
     result = {
-        "metric": f"vgg16_frcnn_inference_images_per_sec_{platform}",
+        "metric": f"{net_tag}_frcnn_inference_images_per_sec_{platform}",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 3),

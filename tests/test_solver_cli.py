@@ -57,9 +57,11 @@ def test_train_then_test_cli(tmp_path):
     run_cli(test_main, [
         "test.py", "--model", ckpt, "--output_dir", out2,
         "--data_dir", DATA,
-        "--set_cfgs", *SMALL_CFGS])
+        "--set_cfgs", *SMALL_CFGS, "TEST.DEBUG_TIMELINE", "True"])
     assert os.path.exists(os.path.join(out2, "detections.pkl"))
     assert os.path.exists(os.path.join(out2, "eval.txt"))
+    # TEST.DEBUG_TIMELINE -> a jax profiler trace was dumped
+    assert os.path.isdir(os.path.join(out2, "jax_trace"))
     # eval.txt must contain AP + CorLoc lines for both classes
     txt = open(os.path.join(out2, "eval.txt")).read()
     for needle in ("AP for benign", "AP for malignant", "CorLoc for benign",

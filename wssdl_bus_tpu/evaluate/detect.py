@@ -181,6 +181,11 @@ def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
     return out
 
 
+def _null_ctx():
+    import contextlib
+    return contextlib.nullcontext()
+
+
 def test_net(eng, variables, imdb, output_dir: str, net_name: str,
              canvas_hw, max_per_image: int = 300, thresh: float = 0.05,
              verbose: bool = True, vis: bool = False, batch_size: int = 1):
@@ -195,6 +200,12 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
     os.makedirs(output_dir, exist_ok=True)
     t_det, t_misc = Timer(), Timer()
 
+    # TEST.DEBUG_TIMELINE analog (reference wraps each im_detect sess.run
+    # with FULL_TRACE and dumps Chrome traces, test_bus.py:186-188,233-237):
+    # trace the first post-compile detection into <output_dir>/jax_trace.
+    from wssdl_bus_tpu.utils import TraceContext
+    trace = TraceContext(output_dir, enabled=eng.cfg.TEST.DEBUG_TIMELINE)
+
     pending = []  # (image_index, image, scores, boxes)
     if batch_size > 1:
         for start in range(0, num_images, batch_size):
@@ -203,8 +214,9 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
             # pad the tail batch to the compiled batch size
             padded = ims + [ims[-1]] * (batch_size - len(ims))
             t_det.tic()
-            results = im_detect_batch(eng, variables, padded, net_name,
-                                      canvas_hw)
+            with trace if start == batch_size else _null_ctx():
+                results = im_detect_batch(eng, variables, padded, net_name,
+                                          canvas_hw)
             t_det.toc()
             for k, i in enumerate(idxs):
                 pending.append((i, ims[k]) + results[k])
@@ -215,7 +227,9 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
         else:
             im = imdb.read_image(i)
             t_det.tic()
-            scores, boxes = im_detect(eng, variables, im, net_name, canvas_hw)
+            with trace if i == min(1, num_images - 1) else _null_ctx():
+                scores, boxes = im_detect(eng, variables, im, net_name,
+                                          canvas_hw)
             t_det.toc()
 
         t_misc.tic()

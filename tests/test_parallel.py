@@ -110,3 +110,56 @@ def test_dp_tp_train_step_runs(setup):
     p = cfg.TEST.RPN_POST_NMS_TOP_N
     assert cls_prob.shape == (12 * p, 3)
     np.testing.assert_allclose(np.asarray(cls_prob).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_tp_head_backward_matches_flax(setup):
+    """Gradients through the TP head (incl. the psum-backward f-operator)
+    equal the single-device flax head's for both the params and the shared
+    input features."""
+    cfg, model = setup
+    mesh = make_mesh(n_data=1, n_model=2)
+    eng = ParallelEngine(model, cfg, CANVAS, mesh)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+    hp = variables["head"]["params"]
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(8, 7, 7, 512).astype(np.float32))
+    w_cls = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+    w_box = jnp.asarray(rng.randn(8, 12).astype(np.float32))
+
+    def loss_flax(hp_full, feats):
+        v = {"trunk": variables["trunk"], "head": {"params": hp_full}}
+        cls, bbox, _ = model.apply_head(v, feats, train=False)
+        return jnp.sum(cls * w_cls) + jnp.sum(bbox * w_box)
+
+    ref_ghp, ref_gfeats = jax.grad(loss_flax, argnums=(0, 1))(hp, feats)
+
+    def loss_tp(hp_shard, feats):
+        cls, bbox = tp_head_apply(hp_shard, feats, train=False, axis="model")
+        return jnp.sum(cls * w_cls) + jnp.sum(bbox * w_box)
+
+    def body(hp_shard, feats):
+        g_hp, g_feats = jax.grad(loss_tp, argnums=(0, 1))(hp_shard, feats)
+        # sharded leaves hold exact disjoint shards; replicated leaves are
+        # identical across ranks and get averaged (as in
+        # ParallelEngine._pmean_unsharded)
+        g_hp = jax.tree_util.tree_map_with_path(
+            lambda path, g: g if "fc6" in jax.tree_util.keystr(path)
+            or ("fc7" in jax.tree_util.keystr(path)
+                and "kernel" in jax.tree_util.keystr(path))
+            else jax.lax.pmean(g, "model"), g_hp)
+        return g_hp, g_feats
+
+    specs = head_pspecs(hp)
+    g_hp, g_feats = jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(specs, P()), check_vma=False)(hp, feats)
+
+    np.testing.assert_allclose(np.asarray(g_feats),
+                               np.asarray(ref_gfeats), rtol=2e-4, atol=2e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_ghp)
+    flat_tp = dict(jax.tree_util.tree_leaves_with_path(g_hp))
+    for path, ref in flat_ref:
+        got = flat_tp[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path))

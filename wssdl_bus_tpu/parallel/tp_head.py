@@ -42,6 +42,28 @@ def _f_bwd(axis_name, _res, g):
 _f_operator.defvjp(_f_fwd, _f_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _g_operator(x, axis_name):
+    return jax.lax.psum(x, axis_name)
+
+
+def _g_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _g_bwd(axis_name, _res, g):
+    # The cotangent of the summed activation is replicated across ranks;
+    # each rank's partial product receives it unchanged.  A raw lax.psum
+    # here would transpose to ANOTHER psum, scaling every upstream gradient
+    # (fc6/fc7 kernels, the trunk) by the model-axis size while leaving the
+    # downstream head gradients unscaled — silently-wrong TP training
+    # (caught by tests/test_parallel.py:test_tp_head_backward_matches_flax).
+    return (g,)
+
+
+_g_operator.defvjp(_g_fwd, _g_bwd)
+
+
 def _dropout(x, rate, key):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
@@ -73,7 +95,7 @@ def tp_head_apply(head_params: dict, roi_feats: jnp.ndarray, *,
     k7 = head_params["fc7"]["dense"]["kernel"]
     b7 = head_params["fc7"]["dense"]["bias"]
     part = jnp.dot(h, k7, preferred_element_type=jnp.float32)
-    y = jax.nn.relu(jax.lax.psum(part, axis) + b7)
+    y = jax.nn.relu(_g_operator(part, axis) + b7)
     if train and dropout_rng is not None:
         # replicated activations -> identical mask on every model rank
         y = _dropout(y, 0.5, jax.random.fold_in(dropout_rng, 7))

@@ -66,3 +66,33 @@ def test_augment_vgg_vs_resnet_scaling(rng):
     # mean-subtracted x, so VGG/ResNet == std everywhere (blob.py:74-77)
     mask = np.abs(r) > 1e-3
     np.testing.assert_allclose((v / r)[mask], cfg.PIXEL_STD, rtol=1e-3)
+
+
+def test_prefetcher_order_and_error_propagation():
+    from wssdl_bus_tpu.data.loader import Prefetcher
+
+    class Fake:
+        def __init__(self):
+            self.i = 0
+
+        def forward(self):
+            self.i += 1
+            if self.i > 5:
+                raise ValueError("boom")
+            return {"step": self.i}
+
+    pf = Prefetcher(Fake(), depth=2)
+    got = [pf.forward()["step"] for _ in range(5)]
+    assert got == [1, 2, 3, 4, 5]
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="prefetch worker failed"):
+        pf.forward()
+    pf.close()
+
+    class Slow:
+        def forward(self):
+            return {"x": 0}
+
+    pf2 = Prefetcher(Slow())
+    assert pf2.forward() == {"x": 0}
+    pf2.close()  # close drains and stops cleanly

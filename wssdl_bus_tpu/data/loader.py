@@ -91,18 +91,27 @@ class RoIDataLayerJoint:
 
 
 class Prefetcher:
-    """Bounded-queue background prefetch around any layer with .forward()."""
+    """Bounded-queue background prefetch around any layer with .forward().
+
+    A worker-thread exception is captured and re-raised from the consumer's
+    next ``forward()`` call instead of hanging it forever."""
 
     def __init__(self, layer, depth: int = 2):
         self.layer = layer
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error = None
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
     def _worker(self):
         while not self._stop.is_set():
-            blobs = self.layer.forward()
+            try:
+                blobs = self.layer.forward()
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                self._error = e
+                self._stop.set()
+                return
             while not self._stop.is_set():
                 try:
                     self.q.put(blobs, timeout=0.5)
@@ -111,7 +120,13 @@ class Prefetcher:
                     continue
 
     def forward(self):
-        return self.q.get()
+        while True:
+            if self._error is not None:
+                raise RuntimeError("prefetch worker failed") from self._error
+            try:
+                return self.q.get(timeout=0.5)
+            except queue.Empty:
+                continue
 
     def close(self):
         self._stop.set()

@@ -80,3 +80,27 @@ def test_train_alter_cli(tmp_path):
         "--set_cfgs", *SMALL_CFGS])
     assert any("_iter_" in d for d in os.listdir(out))
     assert os.path.exists(os.path.join(out, "test", "eval.txt"))
+
+
+def test_batched_serving_cli(tmp_path):
+    """The batch_size>1 serving path: same artifacts + per-image qualitative
+    overlays with GT; five images through a batch-2 compiled step (covers
+    the padded tail batch)."""
+    out = str(tmp_path / "run")
+    from wssdl_bus_tpu.main.train import main as train_main
+    run_cli(train_main, [
+        "train.py", "--max_iters", "2", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch",
+        "--set_cfgs", *SMALL_CFGS])
+    snaps = [d for d in os.listdir(out) if "_iter_" in d]
+    ckpt = os.path.join(out, sorted(snaps)[-1])
+
+    from wssdl_bus_tpu.main.test import main as test_main
+    out2 = str(tmp_path / "eval_batched")
+    run_cli(test_main, [
+        "test.py", "--model", ckpt, "--output_dir", out2,
+        "--data_dir", DATA, "--batch_size", "2", "--qual_res",
+        "--set_cfgs", *SMALL_CFGS])
+    assert os.path.exists(os.path.join(out2, "eval.txt"))
+    qual = os.path.join(out2, "qual")
+    assert os.path.isdir(qual) and len(os.listdir(qual)) == 5

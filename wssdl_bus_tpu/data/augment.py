@@ -100,15 +100,27 @@ def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
 
 
 def max_canvas(image_sizes, target_size: int, max_size: int,
-               multiple: int = 16, margin: int = 16):
+               multiple: int = 16, margin: int = 4,
+               crop_margin: float = 0.0):
     """Static canvas (H, W) covering every resized image in the dataset,
-    rounded up to a multiple of the feature stride (+margin for the slight
-    size wobble that ws-cropping introduces)."""
+    rounded up to a multiple of the feature stride.
+
+    ``crop_margin``: TRAIN.CROPPING_MAX_MARGIN when ws-cropping is active.
+    Cropping can REMOVE up to 2*crop_margin of either axis independently;
+    shrinking only the shortest side inflates the resize scale by up to
+    1/(1-2*crop_margin) (~11% at the default 0.05), which a small fixed
+    margin cannot cover — so the worst case is enumerated exactly over the
+    four crop-extreme corners per image (output dims are monotone in each
+    cropped extent, so the corners bound the interior)."""
     best_h = best_w = 0
+    shrink = max(0.0, 1.0 - 2.0 * crop_margin)
     for (h, w) in image_sizes:
-        s = compute_scale(h, w, target_size, max_size)
-        best_h = max(best_h, int(np.round(h * s)))
-        best_w = max(best_w, int(np.round(w * s)))
+        for fh in (1.0, shrink):
+            for fw in (1.0, shrink):
+                ch, cw = h * fh, w * fw
+                s = compute_scale(ch, cw, target_size, max_size)
+                best_h = max(best_h, int(np.round(ch * s)))
+                best_w = max(best_w, int(np.round(cw * s)))
     rh = -(-(best_h + margin) // multiple) * multiple
     rw = -(-(best_w + margin) // multiple) * multiple
     return rh, rw

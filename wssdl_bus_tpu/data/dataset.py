@@ -214,11 +214,17 @@ class BusDataset:
         gt_roidb = self.roidb
         out = []
         for i in range(self.num_images):
-            boxes = np.asarray(box_list[i], np.uint16).reshape(-1, 4)
+            # keep the caller's coordinates (the reference passes boxes
+            # through as-is, imdb.py:220-227 — casting to uint16 would wrap
+            # negative or large values)
+            boxes = np.asarray(box_list[i]).reshape(-1, 4)
             n = len(boxes)
             overlaps = np.zeros((n, self.num_classes), np.float32)
             gt = gt_roidb[i]
-            gt_inds = np.where(gt["gt_classes"] > 0)[0]
+            # ALL GT boxes participate, including class-0 normal-tissue
+            # boxes — a proposal matching one records its IoU in column 0
+            # (imdb.py:224-232 uses gt_roidb[i]['boxes'] unfiltered)
+            gt_inds = np.arange(len(gt["gt_classes"]))
             if n and len(gt_inds):
                 gtb = gt["boxes"][gt_inds].astype(np.float64)
                 b = boxes.astype(np.float64)

@@ -78,6 +78,7 @@ class RoIDataLayerJoint:
         self.cfg = cfg
         self.canvas_hw = canvas_hw
         self.rng = rng or np.random.RandomState(cfg.RNG_SEED)
+        self.is_training = is_training
         self.cursor_s = _Cursor(len(roidb_s), is_training, self.rng)
         self.cursor_ws = _Cursor(len(roidb_ws), is_training, self.rng)
 
@@ -87,7 +88,7 @@ class RoIDataLayerJoint:
         return get_minibatch_joint([self.roidb_s[i] for i in ids],
                                    [self.roidb_ws[i] for i in idw],
                                    self.net_name, self.cfg, self.canvas_hw,
-                                   self.rng)
+                                   self.rng, is_training=self.is_training)
 
 
 class Prefetcher:
@@ -126,6 +127,8 @@ class Prefetcher:
             try:
                 return self.q.get(timeout=0.5)
             except queue.Empty:
+                if self._stop.is_set():  # closed with no pending error
+                    raise RuntimeError("prefetcher is closed") from None
                 continue
 
     def close(self):
@@ -144,6 +147,6 @@ def get_data_layer(roidbs, net_name, cfg, canvas_hw, is_training,
     roidb_ws); otherwise a single RoIDataLayer."""
     if is_joint:
         return RoIDataLayerJoint(roidbs[0], roidbs[1], net_name, cfg,
-                                 canvas_hw, rng=rng)
+                                 canvas_hw, is_training=is_training, rng=rng)
     return RoIDataLayer(roidbs, net_name, cfg, canvas_hw,
                         is_training=is_training, is_ws=is_ws, rng=rng)

@@ -43,7 +43,15 @@ def _pack(images: List[np.ndarray], canvas_hw) -> np.ndarray:
     blob = np.zeros((len(images), h, w, 3), np.float32)
     for i, im in enumerate(images):
         ih, iw = im.shape
-        if ih > h or iw > w:  # safety: crop overflow (should not happen)
+        if ih > h or iw > w:
+            # Last-resort guard: max_canvas enumerates the ws-crop worst
+            # case, so overflow means the canvas came from a different
+            # dataset/config than this image.  Truncate loudly rather than
+            # crash mid-training.
+            import warnings
+            warnings.warn(
+                f"image {im.shape} exceeds static canvas {canvas_hw}; "
+                "truncating — recompute the canvas for this dataset/config")
             im = im[:h, :w]
             ih, iw = im.shape
         blob[i, :ih, :iw, :] = im[:, :, None]  # gray -> 3 channels
@@ -80,18 +88,23 @@ def get_minibatch(roidb, net_name: str, cfg: Config, canvas_hw,
 
 
 def get_minibatch_joint(roidb_s, roidb_ws, net_name: str, cfg: Config,
-                        canvas_hw, rng: np.random.RandomState):
+                        canvas_hw, rng: np.random.RandomState,
+                        is_training: bool = True):
     """Joint minibatch: supervised images (full aug minus ws-only ops), then
-    weak images (with rotation/cropping), minibatch_bus.py:96-139."""
+    weak images (with rotation/cropping), minibatch_bus.py:96-139.
+    ``is_training=False`` disables all random augmentation (the reference
+    threads the flag through to prep_im_for_blob, minibatch_bus.py:96)."""
     n_s, n_ws = len(roidb_s), len(roidb_ws)
     n = n_s + n_ws
     images, scales = [], []
     for entry in roidb_s:
-        im, s = prep_image(_load_gray(entry), net_name, cfg, True, False, rng)
+        im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
+                           False, rng)
         images.append(im)
         scales.append(s)
     for entry in roidb_ws:
-        im, s = prep_image(_load_gray(entry), net_name, cfg, True, True, rng)
+        im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
+                           is_training, rng)
         images.append(im)
         scales.append(s)
 

@@ -89,6 +89,14 @@ def get_image_blob(im: np.ndarray, net_name: str, cfg, canvas_hw):
     prepared, im_scale = prep_image(im, net_name, cfg, is_training=False,
                                     is_ws=False, rng=rng)
     h, w = prepared.shape
+    if h > canvas_hw[0] or w > canvas_hw[1]:
+        # an out-of-dataset image larger than the compiled canvas: truncate
+        # with a warning instead of crashing the serving loop
+        import warnings
+        warnings.warn(f"image resized to {(h, w)} exceeds canvas "
+                      f"{canvas_hw}; truncating")
+        prepared = prepared[:canvas_hw[0], :canvas_hw[1]]
+        h, w = prepared.shape
     blob = np.zeros((1, canvas_hw[0], canvas_hw[1], 3), np.float32)
     blob[0, :h, :w, :] = prepared[:, :, None]
     return blob, im_scale, (h, w)
@@ -154,23 +162,14 @@ def im_detect_batch(eng, variables, images, net_name: str, canvas_hw):
 def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
                         cls_agnostic=False):
     """-> dets_per_class[list of [n_j, 5]] for classes 1..C-1
-    (test_bus.py:341-386)."""
+    (test_bus.py:359-386).
+
+    Always runs per-class score-threshold + NMS first; with ``cls_agnostic``
+    the per-class survivors are then concatenated (class tag appended) and
+    suppressed jointly by a second NMS, exactly like the reference — so a
+    proposal can still contribute one detection per class when its per-class
+    boxes do not overlap (test_bus.py:371-384)."""
     out = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
-    if cls_agnostic:
-        # suppress across classes using each box's best non-bg class
-        best_cls = np.argmax(scores[:, 1:], axis=1) + 1
-        best_score = scores[np.arange(len(scores)), best_cls]
-        keep0 = np.where(best_score > thresh)[0]
-        sel_boxes = np.stack([boxes[i, 4 * c:4 * c + 4]
-                              for i, c in zip(keep0, best_cls[keep0])]) \
-            if len(keep0) else np.zeros((0, 4), np.float32)
-        dets = np.hstack([sel_boxes, best_score[keep0, None]]) \
-            .astype(np.float32)
-        keep = nms_numpy(dets, nms_thresh)
-        for n, i in enumerate(keep0[keep]):
-            j = best_cls[i]
-            out[j] = np.vstack([out[j], dets[keep[n]]])
-        return out
     for j in range(1, num_classes):
         inds = np.where(scores[:, j] > thresh)[0]
         cls_boxes = boxes[inds, j * 4:(j + 1) * 4]
@@ -178,6 +177,16 @@ def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
         dets = np.hstack([cls_boxes, cls_scores[:, None]]).astype(np.float32)
         keep = nms_numpy(dets, nms_thresh)
         out[j] = dets[keep]
+    if cls_agnostic:
+        all_dets = np.zeros((0, 6), np.float32)
+        for j in range(1, num_classes):
+            tagged = np.hstack([out[j],
+                                np.full((len(out[j]), 1), j, np.float32)])
+            all_dets = np.concatenate([all_dets, tagged], axis=0)
+        keep = nms_numpy(all_dets[:, :5], nms_thresh)
+        all_dets = all_dets[keep]
+        for j in range(1, num_classes):
+            out[j] = all_dets[all_dets[:, 5] == j][:, :5]
     return out
 
 
@@ -206,31 +215,34 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
     from wssdl_bus_tpu.utils import TraceContext
     trace = TraceContext(output_dir, enabled=eng.cfg.TEST.DEBUG_TIMELINE)
 
-    pending = []  # (image_index, image, scores, boxes)
-    if batch_size > 1:
-        for start in range(0, num_images, batch_size):
-            idxs = list(range(start, min(start + batch_size, num_images)))
-            ims = [imdb.read_image(i) for i in idxs]
-            # pad the tail batch to the compiled batch size
-            padded = ims + [ims[-1]] * (batch_size - len(ims))
-            t_det.tic()
-            with trace if start == batch_size else _null_ctx():
-                results = im_detect_batch(eng, variables, padded, net_name,
-                                          canvas_hw)
-            t_det.toc()
-            for k, i in enumerate(idxs):
-                pending.append((i, ims[k]) + results[k])
-
-    for i in range(num_images):
+    def detections():
+        """Yield (i, image, scores, boxes) lazily — the batched path
+        post-processes each batch as it completes, so host memory stays
+        bounded at one batch of raw images/outputs."""
         if batch_size > 1:
-            _, im, scores, boxes = pending[i]
+            for start in range(0, num_images, batch_size):
+                idxs = list(range(start, min(start + batch_size, num_images)))
+                ims = [imdb.read_image(i) for i in idxs]
+                # pad the tail batch to the compiled batch size
+                padded = ims + [ims[-1]] * (batch_size - len(ims))
+                t_det.tic()
+                with trace if start == batch_size else _null_ctx():
+                    results = im_detect_batch(eng, variables, padded,
+                                              net_name, canvas_hw)
+                t_det.toc()
+                for k, i in enumerate(idxs):
+                    yield (i, ims[k]) + results[k]
         else:
-            im = imdb.read_image(i)
-            t_det.tic()
-            with trace if i == min(1, num_images - 1) else _null_ctx():
-                scores, boxes = im_detect(eng, variables, im, net_name,
-                                          canvas_hw)
-            t_det.toc()
+            for i in range(num_images):
+                im = imdb.read_image(i)
+                t_det.tic()
+                with trace if i == min(1, num_images - 1) else _null_ctx():
+                    scores, boxes = im_detect(eng, variables, im, net_name,
+                                              canvas_hw)
+                t_det.toc()
+                yield i, im, scores, boxes
+
+    for i, im, scores, boxes in detections():
 
         t_misc.tic()
         per_class = apply_nms_per_class(
@@ -249,10 +261,15 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
                     all_boxes[j][i] = all_boxes[j][i][keep]
         if vis:
             from wssdl_bus_tpu.evaluate.visualize import save_qualitative
+            # overlay GT under the detections like the reference's test-time
+            # visualization (test_bus.py:345-355)
+            entry = imdb.roidb[i] if imdb.roidb else None
             save_qualitative(
                 im, {j: all_boxes[j][i] for j in range(1, num_classes)},
                 os.path.join(output_dir, "qual"), imdb.image_index[i],
-                thresh=0.5)
+                thresh=0.5,
+                gt_boxes=entry["boxes"] if entry is not None else None,
+                gt_classes=entry["gt_classes"] if entry is not None else None)
         t_misc.toc()
         if verbose:
             print(f"im_detect: {i + 1:d}/{num_images:d} "

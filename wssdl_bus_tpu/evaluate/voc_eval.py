@@ -62,10 +62,16 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
     Args:
       dets_per_image: {imagename: [N_i, 5] array (x1,y1,x2,y2,score)} in
         ORIGINAL (1-based-written, here 0-based) image coordinates.  To match
-        the reference exactly we add the +1 the results-file writer applies
-        (bus.py:258-261) — GT boxes come from the raw XML (1-based).
-      gt_per_image: {imagename: [M_i, 4] array of this class's GT boxes from
-        the XML (1-based), difficult excluded upstream}.
+        the reference exactly we apply the results-file writer's round trip
+        (bus.py:254-261): +1 to coordinates, then scores formatted ``%.3f``
+        and coordinates ``%.1f`` — threshold-boundary detections must
+        classify identically to the reference, which re-reads the rounded
+        text values (voc_eval_bus.py:148-152).
+      gt_per_image: {imagename: ([M_i, 4] array of this class's GT boxes
+        from the XML (1-based), [M_i] bool difficult flags)}.  Difficult
+        objects stay in the overlap targets but are excluded from npos, and
+        detections matching one count as neither TP nor FP
+        (voc_eval_bus.py:134-141,238-246).
     Returns the reference's 8-tuple
       (rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img).
     """
@@ -77,9 +83,11 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
             continue
         for row in dets:
             image_ids.append(name)
-            confidence.append(float(row[4]))
-            BB.append([row[0] + 1, row[1] + 1, row[2] + 1, row[3] + 1])
-    npos = sum(len(gt_per_image[n]) for n in imagenames)
+            confidence.append(float(f"{float(row[4]):.3f}"))
+            BB.append([float(f"{row[0] + 1:.1f}"), float(f"{row[1] + 1:.1f}"),
+                       float(f"{row[2] + 1:.1f}"), float(f"{row[3] + 1:.1f}")])
+    npos = sum(int(np.sum(~np.asarray(gt_per_image[n][1], bool)))
+               for n in imagenames)
 
     if not image_ids:
         return -1, -1, -1, 0, 0, np.zeros((200,)), 0, [0] * len(imagenames)
@@ -91,8 +99,9 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
     BB = BB[sorted_ind]
     image_ids = [image_ids[i] for i in sorted_ind]
 
-    class_recs = {n: {"bbox": np.array(gt_per_image[n], float),
-                      "det": [False] * len(gt_per_image[n])}
+    class_recs = {n: {"bbox": np.array(gt_per_image[n][0], float),
+                      "difficult": np.asarray(gt_per_image[n][1], bool),
+                      "det": [False] * len(gt_per_image[n][0])}
                   for n in imagenames}
 
     # CorLoc (voc_eval_bus.py:160-206)
@@ -132,11 +141,14 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
             ovmax = np.max(overlaps)
             jmax = np.argmax(overlaps)
         if ovmax > ovthresh:
-            if not R["det"][jmax]:
-                tp[d] = 1.0
-                R["det"][jmax] = True
-            else:
-                fp[d] = 1.0
+            # a detection matching a difficult GT is neither TP nor FP
+            # (voc_eval_bus.py:238-246)
+            if not R["difficult"][jmax]:
+                if not R["det"][jmax]:
+                    tp[d] = 1.0
+                    R["det"][jmax] = True
+                else:
+                    fp[d] = 1.0
         else:
             fp[d] = 1.0
         if sorted_scores[d] <= -score_thresh and ovmax <= ovthresh:
@@ -151,7 +163,7 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
 
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)
-    rec = tp / float(max(npos, 1))
+    rec = tp / float(max(npos, 1))  # npos excludes difficult (ref :138)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     ap = voc_ap(rec, prec, use_07_metric)
     return rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img
@@ -172,24 +184,26 @@ def _iou_1_to_many_multi(bb_many, gt_one):
 
 
 def _gt_for_class(imdb, classname):
-    """Per-image GT boxes of one class, straight from the XML (1-based),
-    difficult objects excluded (voc_eval_bus.py:130-141)."""
+    """Per-image (boxes, difficult) of one class, straight from the XML
+    (1-based).  Difficult objects are KEPT — they remain valid overlap
+    targets; only npos and TP/FP marking treat them specially
+    (voc_eval_bus.py:130-141)."""
     import xml.etree.ElementTree as ET
 
     out = {}
     for name in imdb.image_index[:imdb.num_images]:
         path = os.path.join(imdb.data_dir, "Annotations", name + ".xml")
         tree = ET.parse(path)
-        boxes = []
+        boxes, difficult = [], []
         for obj in tree.findall("object"):
             if obj.find("name").text != classname:
-                continue
-            if int(obj.find("difficult").text) != 0:
                 continue
             bb = obj.find("bndbox")
             boxes.append([int(bb.find("xmin").text), int(bb.find("ymin").text),
                           int(bb.find("xmax").text), int(bb.find("ymax").text)])
-        out[name] = np.array(boxes).reshape(-1, 4)
+            difficult.append(int(obj.find("difficult").text) != 0)
+        out[name] = (np.array(boxes).reshape(-1, 4),
+                     np.array(difficult, bool))
     return out
 
 

@@ -81,7 +81,9 @@ def load_train_data(args, cfg: Config):
 
     sizes = [(e["height"], e["width"])
              for e in roidb_s + roidb_ws + roidb_test]
-    canvas = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE)
+    canvas = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE,
+                        crop_margin=(cfg.TRAIN.CROPPING_MAX_MARGIN
+                                     if cfg.TRAIN.USE_CROPPING else 0.0))
     return roidb_s, roidb_ws, imdb_test, roidb_test, canvas
 
 

@@ -404,7 +404,10 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
     if canvas_hw is None:
         sizes = [(e["height"], e["width"])
                  for e in roidb_train_s + roidb_train_ws + roidb_test]
-        canvas_hw = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE)
+        canvas_hw = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE,
+                               crop_margin=(cfg.TRAIN.CROPPING_MAX_MARGIN
+                                            if cfg.TRAIN.USE_CROPPING
+                                            else 0.0))
     model = build_detector(network, net_depth, norm_type, num_classes=3)
     eng = Engine(model, cfg, canvas_hw, num_ws=num_ws, dataset=dataset,
                  opt_name=opt, selector_pair=selector_pair)

@@ -100,13 +100,16 @@ def bbox_transform_inv_oracle(boxes, deltas):
     return out
 
 
-def roi_pool_oracle(feat, rois, pooled_h, pooled_w, spatial_scale):
-    """ROI max pooling, exactly mirroring roi_pooling_op.cc:141-196.
+def roi_pool_oracle(feat, rois, pooled_h, pooled_w, spatial_scale,
+                    flavor="gpu"):
+    """ROI max pooling, mirroring the reference kernels.
 
     feat: [B, H, W, C]; rois: [R, 5] (batch_idx, x1, y1, x2, y2).
-    NOTE the reference kernel casts the float bin edge to int BEFORE applying
-    floor/ceil (`floor(static_cast<int>(ph*bin_h))`), so both edges truncate —
-    the ceil is a no-op.  We reproduce that truncation faithfully.
+    flavor='gpu' (default): true floor/ceil bin edges — the CUDA kernel the
+    reference actually runs (roi_pooling_op_gpu.cu.cc:51-58).
+    flavor='cpu': the CPU kernel casts the float bin edge to int BEFORE
+    floor/ceil (`floor(static_cast<int>(ph*bin_h))`,
+    roi_pooling_op.cc:167-170), so both edges truncate — its ceil is a no-op.
     """
     B, H, W, C = feat.shape
     R = rois.shape[0]
@@ -125,14 +128,19 @@ def roi_pool_oracle(feat, rois, pooled_h, pooled_w, spatial_scale):
         reh = c_round(rois[r, 4] * spatial_scale)
         roi_w = max(rew - rsw + 1, 1)
         roi_h = max(reh - rsh + 1, 1)
-        bin_h = roi_h / float(pooled_h)
-        bin_w = roi_w / float(pooled_w)
+        # exact integer bin edges (the kernels' definition; the C kernels'
+        # f32 arithmetic deviates by one cell only where its rounding
+        # crosses an integer boundary, and is compiler-dependent there)
         for ph in range(pooled_h):
             for pw in range(pooled_w):
-                hstart = int(ph * bin_h)
-                wstart = int(pw * bin_w)
-                hend = int((ph + 1) * bin_h)
-                wend = int((pw + 1) * bin_w)
+                hstart = (ph * roi_h) // pooled_h
+                wstart = (pw * roi_w) // pooled_w
+                if flavor == "gpu":
+                    hend = ((ph + 1) * roi_h + pooled_h - 1) // pooled_h
+                    wend = ((pw + 1) * roi_w + pooled_w - 1) // pooled_w
+                else:
+                    hend = ((ph + 1) * roi_h) // pooled_h
+                    wend = ((pw + 1) * roi_w) // pooled_w
                 hstart = min(max(hstart + rsh, 0), H)
                 hend = min(max(hend + rsh, 0), H)
                 wstart = min(max(wstart + rsw, 0), W)

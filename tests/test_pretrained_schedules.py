@@ -74,3 +74,63 @@ def test_pretrained_npy_roundtrip(tmp_path):
         np.asarray(out["trunk"]["params"]["backbone"]["conv1_2"]["conv"]["kernel"]),
         np.asarray(
             variables["trunk"]["params"]["backbone"]["conv1_2"]["conv"]["kernel"]))
+
+
+def test_pretrained_npy_resnet_nested_scopes(tmp_path):
+    """ResNet checkpoints use nested TF scopes (group0/block0/conv1,
+    group2/norm — Resnet_train_bus.py:55-101): each must land on ITS OWN
+    block (no first-match collapsing), norm gamma/beta must load, and
+    moving_mean/variance must reach the batch_stats collection."""
+    import jax
+
+    from wssdl_bus_tpu.models.detector import FasterRCNN
+    from wssdl_bus_tpu.models.pretrained import load_pretrained_npy
+
+    model = FasterRCNN(backbone="Resnet", depth=18, norm="BN")
+    variables = model.init_variables(jax.random.PRNGKey(0), (96, 128))
+    bb = variables["trunk"]["params"]["backbone"]
+
+    def shape(p):
+        node = bb
+        for s in p:
+            node = node[s]
+        return np.shape(np.asarray(node))
+
+    pretrained = {
+        "group0/block0/conv1": {
+            "weights": np.full(shape(("group0", "block0", "conv1", "conv",
+                                      "kernel")), 0.1, np.float32),
+            "gamma": np.full((64,), 2.0, np.float32),
+            "moving_mean": np.full((64,), 3.0, np.float32),
+        },
+        "group0/block1/conv1": {
+            "weights": np.full(shape(("group0", "block1", "conv1", "conv",
+                                      "kernel")), 0.2, np.float32),
+        },
+        "group2/norm": {"gamma": np.full((256,), 4.0, np.float32),
+                        "beta": np.full((256,), 5.0, np.float32)},
+        "conv0": {"weights": np.full(shape(("conv0", "conv", "kernel")),
+                                     0.3, np.float32)},
+    }
+    path = str(tmp_path / "resnet.npy")
+    np.save(path, pretrained, allow_pickle=True)
+
+    out = load_pretrained_npy(path, variables, "Resnet")
+    ob = out["trunk"]["params"]["backbone"]
+    assert np.all(np.asarray(
+        ob["group0"]["block0"]["conv1"]["conv"]["kernel"]) == 0.1)
+    assert np.all(np.asarray(
+        ob["group0"]["block1"]["conv1"]["conv"]["kernel"]) == 0.2)
+    assert np.all(np.asarray(
+        ob["group0"]["block0"]["conv1"]["bn"]["gamma"]) == 2.0)
+    assert np.all(np.asarray(ob["group2_norm"]["gamma"]) == 4.0)
+    assert np.all(np.asarray(ob["group2_norm"]["beta"]) == 5.0)
+    assert np.all(np.asarray(ob["conv0"]["conv"]["kernel"]) == 0.3)
+    # running stats landed in batch_stats, not params
+    obs = out["trunk"]["batch_stats"]["backbone"]
+    assert np.all(np.asarray(
+        obs["group0"]["block0"]["conv1"]["bn"]["mean"]) == 3.0)
+    # untouched siblings stay at init
+    np.testing.assert_array_equal(
+        np.asarray(ob["group1"]["block0"]["conv1"]["conv"]["kernel"]),
+        np.asarray(bb["group1"]["block0"]["conv1"]["conv"]["kernel"]))

@@ -44,7 +44,10 @@ def test_roi_pool_gradient_scatters_to_argmax(rng):
     """The VJP must place gradient only at each bin's max position, matching
     the reference backward (roi_pooling_op.cc argmax scatter)."""
     feat = rng.randn(1, 8, 8, 2).astype(np.float32)
-    rois = np.array([[0, 0, 0, 127, 127]], np.float32)
+    # quantizes to an 8x8 roi (round(111/16)=7, size 8): 2x2 bins divide
+    # exactly, so they are disjoint under BOTH bin-edge flavors and every
+    # input cell belongs to at most one bin
+    rois = np.array([[0, 0, 0, 111, 111]], np.float32)
 
     def f(x):
         return roi_pool(x, jnp.array(rois), 4, 4, 1 / 16.0, chunk=1).sum()
@@ -54,3 +57,27 @@ def test_roi_pool_gradient_scatters_to_argmax(rng):
     # gradient 1 to exactly one input position
     assert g.sum() == 4 * 4 * 2
     assert ((g == 0) | (g == 1)).all()
+
+
+def test_roi_pool_cpu_flavor_matches_truncation_oracle(rng):
+    """Both reference bin-edge flavors are supported: 'cpu' (truncated
+    edges) must match the truncation oracle, and for an ROI whose quantized
+    side is not a multiple of 7 the two flavors genuinely differ (the GPU
+    kernel's ceil makes bins overlap)."""
+    import jax.numpy as jnp
+
+    from wssdl_bus_tpu.ops.roi_pool import roi_pool
+
+    feat = rng.randn(1, 24, 30, 8).astype(np.float32)
+    rois = np.array([[0, 0, 0, 159, 159],       # 10x10 quantized (not /7)
+                     [0, 16, 16, 300, 250]], np.float32)
+    got_cpu = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois), 7, 7,
+                                  1 / 16.0, flavor="cpu"))
+    want_cpu = roi_pool_oracle(feat, rois, 7, 7, 1 / 16.0, flavor="cpu")
+    np.testing.assert_array_equal(got_cpu, want_cpu)
+
+    got_gpu = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois), 7, 7,
+                                  1 / 16.0, flavor="gpu"))
+    want_gpu = roi_pool_oracle(feat, rois, 7, 7, 1 / 16.0, flavor="gpu")
+    np.testing.assert_array_equal(got_gpu, want_gpu)
+    assert not np.array_equal(got_cpu, got_gpu)

@@ -233,3 +233,76 @@ def test_anchor_target_udiat_and_snubh_fg_match_oracle(rng):
             anchors.astype(np.float64), gt, (h * 16, w * 16), fg_only)
         np.testing.assert_array_equal(np.asarray(labels), want,
                                       err_msg=dataset)
+
+
+def test_anchor_target_positive_weight_and_inside_weights(rng):
+    """RPN_POSITIVE_WEIGHT >= 0 splits outside weights p/num_pos vs
+    (1-p)/num_neg, and RPN_BBOX_INSIDE_WEIGHTS scales positives' inside
+    weights (anchor_target_layer_tf_bus.py:228-244)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wssdl_bus_tpu.ops.anchor_target import anchor_target_layer_joint
+    from wssdl_bus_tpu.ops.anchors import shifted_anchors
+
+    anchors = jnp.asarray(shifted_anchors(12, 16, 16, (0.5, 1.0, 2.0),
+                                          (8, 16, 32)))
+    gt = np.zeros((1, 20, 5), np.float32)
+    gt[0, 0] = [20, 30, 150, 160, 1]
+    # whole-image normal-tissue box: covers every inside anchor, so the
+    # SNUBH bg path labels all non-positive inside anchors negative
+    gt[0, 1] = [0, 0, 255, 191, 0]
+    num = np.array([2], np.int32)
+    info = np.array([[192, 256, 1.0, 1.0]], np.float32)
+
+    at = anchor_target_layer_joint(
+        jax.random.PRNGKey(0), jnp.asarray(gt), jnp.asarray(num),
+        jnp.asarray(info), anchors, num_supervised=1,
+        bbox_inside_weights=(1.0, 1.0, 2.0, 2.0), positive_weight=0.8)
+    labels = np.asarray(at.labels[0])
+    ow = np.asarray(at.outside_weights[0])
+    iw = np.asarray(at.inside_weights[0])
+    n_pos, n_neg = (labels == 1).sum(), (labels == 0).sum()
+    assert n_pos > 0 and n_neg > 0
+    np.testing.assert_allclose(ow[labels == 1], 0.8 / n_pos, rtol=1e-6)
+    np.testing.assert_allclose(ow[labels == 0], 0.2 / n_neg, rtol=1e-6)
+    np.testing.assert_allclose(iw[labels == 1],
+                               np.tile([1, 1, 2, 2], (n_pos, 1)))
+
+
+def test_proposal_target_normalized_targets(rng):
+    """BBOX_NORMALIZE_TARGETS_PRECOMPUTED whitens the regression targets by
+    the configured means/stds (proposal_target_layer_tf_bus.py:221-224)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wssdl_bus_tpu.ops.proposal_target import proposal_target_layer
+
+    props = np.array([[[10, 10, 100, 120], [30, 40, 90, 140],
+                       [200, 200, 280, 260], [5, 5, 40, 40]]], np.float32)
+    valid = np.ones((1, 4), bool)
+    gt = np.zeros((1, 20, 5), np.float32)
+    gt[0, 0] = [12, 12, 98, 118, 1]
+    num = np.array([1], np.int32)
+
+    kwargs = dict(num_classes=3, rois_per_image=8, fg_fraction=0.5,
+                  fg_thresh=0.5, bg_thresh_hi=0.5, bg_thresh_lo=0.0,
+                  include_gt=True)
+    key = jax.random.PRNGKey(1)
+    plain = proposal_target_layer(key, jnp.asarray(props), jnp.asarray(valid),
+                                  jnp.asarray(gt), jnp.asarray(num), **kwargs)
+    means, stds = (0.1, -0.1, 0.0, 0.2), (0.2, 0.2, 0.3, 0.3)
+    norm = proposal_target_layer(key, jnp.asarray(props), jnp.asarray(valid),
+                                 jnp.asarray(gt), jnp.asarray(num),
+                                 normalize_targets=True,
+                                 normalize_means=means, normalize_stds=stds,
+                                 **kwargs)
+    lab = np.asarray(plain.labels[0])
+    fg = lab > 0
+    assert fg.any()
+    t_plain = np.asarray(plain.bbox_targets[0])[fg].reshape(-1, 3, 4)
+    t_norm = np.asarray(norm.bbox_targets[0])[fg].reshape(-1, 3, 4)
+    cls = lab[fg]
+    for r, c in enumerate(cls):
+        expect = (t_plain[r, c] - np.array(means)) / np.array(stds)
+        np.testing.assert_allclose(t_norm[r, c], expect, rtol=1e-5)

@@ -102,6 +102,22 @@ def get_image_blob(im: np.ndarray, net_name: str, cfg, canvas_hw):
     return blob, im_scale, (h, w)
 
 
+def unnormalize_bbox_pred(bbox_pred: np.ndarray, cfg) -> np.ndarray:
+    """Un-whiten regression outputs when targets were trained normalized
+    (TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED).  The reference instead bakes
+    the stds/means into the saved bbox_pred weights at snapshot time
+    (train_bus.py:133-173); doing it at decode keeps checkpoints
+    untouched and is numerically identical."""
+    if not cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED:
+        return bbox_pred
+    n_cls = bbox_pred.shape[1] // 4
+    stds = np.tile(np.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, np.float32),
+                   n_cls)
+    means = np.tile(np.asarray(cfg.TRAIN.BBOX_NORMALIZE_MEANS, np.float32),
+                    n_cls)
+    return bbox_pred * stds + means
+
+
 def _decode_one(eng, im_shape, im_scale, rois, valid, cls_prob, bbox_pred):
     """Device outputs of ONE image -> (scores, pred_boxes) in original
     coords (test_bus.py:214-223)."""
@@ -112,6 +128,7 @@ def _decode_one(eng, im_shape, im_scale, rois, valid, cls_prob, bbox_pred):
     bbox_pred = np.asarray(bbox_pred)[valid]
     boxes = np.asarray(rois)[valid, 1:5] / im_scale
     if eng.cfg.TEST.BBOX_REG:
+        bbox_pred = unnormalize_bbox_pred(bbox_pred, eng.cfg)
         pred = np.asarray(bbox_transform_inv(boxes, bbox_pred))
         pred = np.asarray(clip_boxes(pred.reshape(-1, 4),
                                      im_shape[0], im_shape[1]))

@@ -48,7 +48,9 @@ def main():
     import jax
 
     model = build_detector(args.network, args.net_depth, args.norm_type,
-                           num_classes=3)
+                           num_classes=3,
+                           gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
+                                      cfg.TRAIN.GN_MIN_CHS_PER_G))
     eng = Engine(model, cfg, canvas, dataset=args.dataset)
     variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
     variables, step = load_checkpoint(args.model, variables)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from wssdl_bus_tpu.models.layers import ConvBlock, compute_dtype_scope
+from wssdl_bus_tpu.models.layers import (ConvBlock, compute_dtype_scope,
+                                         gn_config_scope)
 from wssdl_bus_tpu.models.resnet import (RESNET_DEFS, ResNetBackbone,
                                          ResNetRCNNHead)
 from wssdl_bus_tpu.models.vgg import VGG16Backbone, VGGRCNNHead
@@ -92,6 +93,9 @@ class FasterRCNN:
     # bottleneck training at full canvas: without it the train step needs
     # 16.4 GB HBM on a 16 GB chip (group3 runs on every one of ~4.1k ROIs).
     remat: bool = False
+    # GN group heuristic (cfg.TRAIN.GN_MIN_NUM_G / GN_MIN_CHS_PER_G,
+    # network.py:126); applied via gn_config_scope at trace time
+    gn_params: tuple = (8, 4)
 
     def _trunk(self, train: bool) -> TrunkRPN:
         return TrunkRPN(backbone=self.backbone, depth=self.depth,
@@ -109,12 +113,14 @@ class FasterRCNN:
         """Initialise {'trunk': vars, 'head': vars} for a given canvas."""
         k1, k2 = jax.random.split(rng)
         dummy = jnp.zeros((1, image_hw[0], image_hw[1], 3), jnp.float32)
-        trunk_vars = self._trunk(train=False).init(k1, dummy)
+        with gn_config_scope(*self.gn_params):
+            trunk_vars = self._trunk(train=False).init(k1, dummy)
         feat_ch = (512 if self.backbone == "VGGnet"
                    else (256 if RESNET_DEFS[self.depth][1] == "basic"
                          else 1024))
         dummy_roi = jnp.zeros((1, roi_hw[0], roi_hw[1], feat_ch), jnp.float32)
-        head_vars = self._head(train=False).init(k2, dummy_roi)
+        with gn_config_scope(*self.gn_params):
+            head_vars = self._head(train=False).init(k2, dummy_roi)
         return {"trunk": dict(trunk_vars), "head": dict(head_vars)}
 
     def apply_trunk(self, variables, data, train: bool):
@@ -124,7 +130,8 @@ class FasterRCNN:
             lambda a: a.astype(jnp.float32), t)
 
         def fwd(v, d):
-            with compute_dtype_scope(self.compute_dtype):
+            with compute_dtype_scope(self.compute_dtype), \
+                    gn_config_scope(*self.gn_params):
                 if train:
                     out, mutated = module.apply(v, d,
                                                 mutable=["batch_stats"])
@@ -146,7 +153,8 @@ class FasterRCNN:
             lambda a: a.astype(jnp.float32), t)
 
         def fwd(v, x):
-            with compute_dtype_scope(self.compute_dtype):
+            with compute_dtype_scope(self.compute_dtype), \
+                    gn_config_scope(*self.gn_params):
                 if train:
                     out, mutated = module.apply(v, x,
                                                 mutable=["batch_stats"],
@@ -162,14 +170,15 @@ class FasterRCNN:
 
 def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
                    num_classes: int = 3,
-                   compute_dtype: Optional[str] = None) -> FasterRCNN:
+                   compute_dtype: Optional[str] = None,
+                   gn_params: tuple = (8, 4)) -> FasterRCNN:
     """Factory mirroring ``get_network`` names (factory_bus.py:28-44):
     'VGGnet_train' / 'VGGnet_test' / 'Resnet_train' / 'Resnet_test' and the
     '_alter' variants all map onto the same module pair here (the train/test
     distinction is an apply-time flag, not a separate graph)."""
     if name.startswith("VGGnet"):
         return FasterRCNN(backbone="VGGnet", num_classes=num_classes,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, gn_params=gn_params)
     if name.startswith("Resnet"):
         if depth not in RESNET_DEFS:
             raise KeyError(f"unsupported ResNet depth {depth}")
@@ -177,5 +186,6 @@ def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
         # chip's HBM without it (see FasterRCNN.remat)
         return FasterRCNN(backbone="Resnet", depth=depth, norm=norm,
                           num_classes=num_classes,
-                          compute_dtype=compute_dtype, remat=True)
+                          compute_dtype=compute_dtype, remat=True,
+                          gn_params=gn_params)
     raise KeyError(f"unknown network name {name}")

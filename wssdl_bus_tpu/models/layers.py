@@ -127,9 +127,33 @@ class GroupNormRef(nn.Module):
         return xg.reshape(x.shape) * gamma + beta
 
 
-def gn_groups(channels: int, min_num_g: int = 8, min_chs_per_g: int = 4) -> int:
+_GN_SCOPE = threading.local()
+
+
+@contextlib.contextmanager
+def gn_config_scope(min_num_g: int, min_chs_per_g: int):
+    """Trace-time override for the GN group heuristic — threads
+    cfg.TRAIN.GN_MIN_NUM_G / GN_MIN_CHS_PER_G into every GroupNormRef
+    without plumbing fields through each module (same idiom as
+    compute_dtype_scope; entered by FasterRCNN.apply_*)."""
+    prev = getattr(_GN_SCOPE, "cfg", None)
+    _GN_SCOPE.cfg = (min_num_g, min_chs_per_g)
+    try:
+        yield
+    finally:
+        _GN_SCOPE.cfg = prev
+
+
+def gn_groups(channels: int, min_num_g: int = None,
+              min_chs_per_g: int = None) -> int:
     """Reference group count: min(GN_MIN_NUM_G, C // GN_MIN_CHS_PER_G)
-    (network.py:126)."""
+    (network.py:126).  Defaults come from the active gn_config_scope
+    (falling back to the reference's 8 / 4)."""
+    scope = getattr(_GN_SCOPE, "cfg", None) or (8, 4)
+    if min_num_g is None:
+        min_num_g = scope[0]
+    if min_chs_per_g is None:
+        min_chs_per_g = scope[1]
     return max(1, min(min_num_g, channels // min_chs_per_g))
 
 

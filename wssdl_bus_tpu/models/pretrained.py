@@ -6,19 +6,28 @@ assigns per-variable, silently skipping anything that does not exist or fit
 512-wide while the ImageNet fc6/fc7 are 4096-wide, so those are skipped and
 trained from scratch, as in the reference).
 
-Naming: our flax modules reuse the reference scope names (conv1_1 … conv5_3,
-fc6, fc7, rpn_conv, cls_score, bbox_pred — see models/vgg.py, models/resnet.py)
-so the mapping is scope -> the flax subtree of the same name; 'weights' maps
-to the conv/dense kernel and 'biases' to its bias.  TF conv kernels are
-[kh, kw, cin, cout] — identical to flax's layout, no transpose needed; dense
-kernels are [cin, cout] in both.
+Scope resolution: checkpoint keys are TF variable-scope paths — flat for VGG
+(``conv1_1`` … ``fc7``) and slash-nested for ResNet
+(``group0/block0/conv1``, ``group2/norm`` — Resnet_train_bus.py:55-101).
+Each scope is matched against the flax variable tree by SUFFIX of the
+"semantic path": the module path with flax container modules (``conv`` /
+``dense`` / ``bn`` / ``gn``) and collection roots stripped, plus the alias
+``<name>_norm`` == ``<name>/norm`` (our flax names cannot contain slashes)
+and ``rpn_conv/3x3`` == ``rpn_conv``.  Ambiguous or missing scopes are
+skipped (ignore-missing), never guessed.
 
-Note: a dense kernel whose input comes from flattened conv features would
-need its rows permuted from the reference's (C, H, W) flatten order to our
-NHWC order (models/layers.py Fc docstring).  No such kernel is loadable in
-practice (the BUS heads are 512-wide vs ImageNet's 4096), so shape-mismatch
-skipping covers it; if a matching checkpoint ever appears, permute rows with
-``np.transpose(w.reshape(C, H, W, out), (1, 2, 0, 3)).reshape(-1, out)``.
+Variable routing: ``weights``/``biases``/``gamma``/``beta`` land in the
+``params`` collection (flax names kernel/bias/gamma/beta — our BatchRenorm
+and GroupNormRef deliberately keep the TF affine names); ``moving_mean`` /
+``moving_variance`` (and ``mean``/``variance``) land in ``batch_stats`` as
+``mean``/``var`` so pretrained running statistics drive eval-mode BN.
+
+TF conv kernels are [kh, kw, cin, cout] — identical to flax's layout, no
+transpose needed; dense kernels are [cin, cout] in both.  A dense kernel fed
+by flattened conv features would need its rows permuted from the reference's
+(C, H, W) flatten order to our NHWC order (models/layers.py Fc docstring);
+no such kernel is loadable in practice (the BUS heads are 512-wide vs
+ImageNet's 4096), so shape-mismatch skipping covers it.
 """
 
 from __future__ import annotations
@@ -26,45 +35,51 @@ from __future__ import annotations
 import copy
 import numpy as np
 
-_VAR_MAP = {"weights": "kernel", "biases": "bias",
-            "gamma": "scale", "beta": "bias",
-            "moving_mean": "mean", "moving_variance": "var"}
+# checkpoint var name -> (collection, flax leaf name)
+_VAR_MAP = {
+    "weights": ("params", "kernel"),
+    "biases": ("params", "bias"),
+    "gamma": ("params", "gamma"),
+    "beta": ("params", "beta"),
+    "moving_mean": ("batch_stats", "mean"),
+    "moving_variance": ("batch_stats", "var"),
+    "mean": ("batch_stats", "mean"),
+    "variance": ("batch_stats", "var"),
+}
+
+_CONTAINERS = {"conv", "dense", "bn", "gn"}
+_COLLECTION_ROOTS = {"trunk", "head", "params", "batch_stats"}
 
 
-def _find_scope(tree: dict, scope: str, path=()):
-    """Depth-first search for a subtree keyed by ``scope``."""
+def _flatten(tree, path=()):
+    out = {}
     for k, v in tree.items():
-        if k == scope and isinstance(v, dict):
-            return path + (k,), v
         if isinstance(v, dict):
-            hit = _find_scope(v, scope, path + (k,))
-            if hit is not None:
-                return hit
-    return None
+            out.update(_flatten(v, path + (k,)))
+        else:
+            out[path + (k,)] = v
+    return out
 
 
-def _assign(subtree: dict, var_name: str, value: np.ndarray, label: str,
-            verbose: bool):
-    """Assign into the conv/dense/bn child holding this variable."""
-    target_name = _VAR_MAP.get(var_name, var_name)
-    for child_key in ("conv", "dense", "bn", "gn"):
-        child = subtree.get(child_key)
-        if isinstance(child, dict) and target_name in child:
-            old = child[target_name]
-            if tuple(np.shape(old)) != tuple(value.shape):
-                if verbose:
-                    print(f"  skip {label}/{var_name}: shape "
-                          f"{value.shape} != {np.shape(old)}")
-                return False
-            child[target_name] = np.asarray(value, dtype=np.float32)
-            return True
-    if target_name in subtree:  # flat variables (e.g. bare bn stats)
-        if tuple(np.shape(subtree[target_name])) == tuple(value.shape):
-            subtree[target_name] = np.asarray(value, dtype=np.float32)
-            return True
-    if verbose:
-        print(f"  skip {label}/{var_name}: no matching variable")
-    return False
+def _semantic(path):
+    """Module path with collection roots and flax containers stripped,
+    '_norm' keys exposed as '/norm' segments, joined by '/'."""
+    parts = []
+    for seg in path[:-1]:  # last element is the leaf var name
+        if seg in _COLLECTION_ROOTS or seg in _CONTAINERS \
+                or seg == "backbone":
+            continue
+        if seg.endswith("_norm"):
+            parts.extend([seg[:-len("_norm")], "norm"])
+        else:
+            parts.append(seg)
+    return "/".join(parts)
+
+
+def _normalize_scope(scope: str) -> str:
+    if scope.endswith("/3x3"):  # reference 'rpn_conv/3x3'
+        scope = scope[:-len("/3x3")]
+    return scope
 
 
 def load_pretrained_npy(path: str, variables: dict, backbone: str,
@@ -77,17 +92,48 @@ def load_pretrained_npy(path: str, variables: dict, backbone: str,
     assert isinstance(data, dict), f"unexpected npy payload in {path}"
 
     variables = copy.deepcopy(jax_to_numpy(variables))
+    flat = _flatten(variables)
+    # (collection, semantic scope, leaf) -> [full paths]
+    index = {}
+    for p in flat:
+        coll = "batch_stats" if "batch_stats" in p else "params"
+        index.setdefault((coll, _semantic(p), p[-1]), []).append(p)
+
     n_loaded = 0
     for scope, vars_dict in data.items():
-        hit = _find_scope(variables, scope.split("/")[-1])
-        if hit is None:
-            if verbose:
-                print(f"  skip scope {scope}: not in model")
-            continue
-        _, subtree = hit
+        scope_n = _normalize_scope(str(scope))
         for var_name, value in dict(vars_dict).items():
-            if _assign(subtree, var_name, np.asarray(value), scope, verbose):
-                n_loaded += 1
+            value = np.asarray(value)
+            coll, leaf = _VAR_MAP.get(var_name, ("params", var_name))
+            # exact semantic-suffix match: semantic path equals the scope or
+            # ends with '/<scope>'
+            cands = []
+            for (c, sem, lf), paths in index.items():
+                if c != coll or lf != leaf:
+                    continue
+                if sem == scope_n or sem.endswith("/" + scope_n):
+                    cands.extend(paths)
+            if not cands:
+                if verbose:
+                    print(f"  skip {scope}/{var_name}: no matching variable")
+                continue
+            if len(cands) > 1:
+                if verbose:
+                    print(f"  skip {scope}/{var_name}: ambiguous "
+                          f"({len(cands)} matches)")
+                continue
+            p = cands[0]
+            old = flat[p]
+            if tuple(np.shape(old)) != tuple(value.shape):
+                if verbose:
+                    print(f"  skip {scope}/{var_name}: shape {value.shape} "
+                          f"!= {np.shape(old)}")
+                continue
+            node = variables
+            for seg in p[:-1]:
+                node = node[seg]
+            node[p[-1]] = value.astype(np.float32)
+            n_loaded += 1
     if verbose:
         print(f"loaded {n_loaded} pretrained arrays from {path}")
     return variables

@@ -69,7 +69,9 @@ def anchor_target_single(key,
                          pos_overlap: float = 0.7,
                          neg_overlap: float = 0.3,
                          clobber_positives: bool = False,
-                         allowed_border: float = 0.0):
+                         allowed_border: float = 0.0,
+                         bbox_inside_weights=(1.0, 1.0, 1.0, 1.0),
+                         positive_weight: float = -1.0):
     """Anchor targets for ONE supervised image.  Returns (labels, targets,
     inside_w, outside_w) with leading dim K."""
     k = anchors.shape[0]
@@ -146,18 +148,34 @@ def anchor_target_single(key,
     targets = bbox_transform(anchors, matched_gt)
     targets = jnp.where(inside[:, None], targets, 0.0)
 
+    # inside weights: RPN_BBOX_INSIDE_WEIGHTS on positives
+    # (anchor_target_layer_tf_bus.py:228-230)
+    iw = jnp.asarray(bbox_inside_weights, targets.dtype)
     inside_w = jnp.where((labels == 1)[:, None],
-                         jnp.ones((k, 4), targets.dtype), 0.0)
-    num_examples = jnp.maximum(jnp.sum(labels >= 0), 1)
-    uniform_w = 1.0 / num_examples.astype(targets.dtype)
-    outside_w = jnp.where((labels >= 0)[:, None], uniform_w, 0.0)
+                         jnp.broadcast_to(iw, (k, 4)), 0.0)
+    # outside weights (:232-244): uniform 1/num_examples when
+    # RPN_POSITIVE_WEIGHT < 0 (the default), otherwise p/num_pos on
+    # positives and (1-p)/num_neg on negatives
+    if positive_weight < 0:
+        num_examples = jnp.maximum(jnp.sum(labels >= 0), 1)
+        uniform_w = 1.0 / num_examples.astype(targets.dtype)
+        outside_w = jnp.where((labels >= 0)[:, None], uniform_w, 0.0)
+    else:
+        assert 0.0 < positive_weight < 1.0, positive_weight
+        num_pos = jnp.maximum(jnp.sum(labels == 1), 1).astype(targets.dtype)
+        num_neg = jnp.maximum(jnp.sum(labels == 0), 1).astype(targets.dtype)
+        outside_w = jnp.where(
+            (labels == 1)[:, None], positive_weight / num_pos,
+            jnp.where((labels == 0)[:, None],
+                      (1.0 - positive_weight) / num_neg, 0.0))
 
     return labels, targets.astype(jnp.float32), inside_w, outside_w
 
 
 @partial(jax.jit, static_argnames=("dataset", "num_supervised",
                                    "rpn_batchsize", "rpn_fg_fraction",
-                                   "clobber_positives"))
+                                   "clobber_positives",
+                                   "bbox_inside_weights", "positive_weight"))
 def anchor_target_layer_joint(key,
                               gt_boxes: jnp.ndarray,   # [B, G, 5]
                               num_gt: jnp.ndarray,     # [B]
@@ -169,7 +187,10 @@ def anchor_target_layer_joint(key,
                               rpn_fg_fraction: float = 0.5,
                               pos_overlap: float = 0.7,
                               neg_overlap: float = 0.3,
-                              clobber_positives: bool = False) -> AnchorTargets:
+                              clobber_positives: bool = False,
+                              bbox_inside_weights=(1.0, 1.0, 1.0, 1.0),
+                              positive_weight: float = -1.0
+                              ) -> AnchorTargets:
     """Joint batch: first ``num_supervised`` images labeled, the rest (weak
     images) all-ignore (anchor_target_layer_tf_bus.py:390,613-626)."""
     b = gt_boxes.shape[0]
@@ -178,7 +199,9 @@ def anchor_target_layer_joint(key,
     fn = partial(anchor_target_single, anchors=anchors, dataset=dataset,
                  rpn_batchsize=rpn_batchsize, rpn_fg_fraction=rpn_fg_fraction,
                  pos_overlap=pos_overlap, neg_overlap=neg_overlap,
-                 clobber_positives=clobber_positives)
+                 clobber_positives=clobber_positives,
+                 bbox_inside_weights=tuple(bbox_inside_weights),
+                 positive_weight=positive_weight)
     labels, targets, in_w, out_w = jax.vmap(fn)(keys, gt_boxes, num_gt, im_info)
 
     supervised = (jnp.arange(b) < num_supervised)

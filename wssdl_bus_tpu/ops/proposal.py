@@ -125,8 +125,12 @@ def proposal_layer(rpn_cls_prob: jnp.ndarray,
 
 def proposals_to_rois(props: Proposals) -> jnp.ndarray:
     """Flatten batched proposals into the reference's [N, 5] roi blob format
-    ``(batch_idx, x1, y1, x2, y2)`` (proposal_layer_tf_bus.py:144-146), with
-    padded rows carrying batch_idx of their image and zero boxes."""
+    ``(batch_idx, x1, y1, x2, y2)`` (proposal_layer_tf_bus.py:144-146).
+
+    Rows where ``props.valid`` is False carry the coordinates of SUPPRESSED
+    proposals, not zeros — consumers must respect the validity mask.
+    (Engine._rois5 is the engine-internal equivalent with a first_index
+    offset for joint batches.)"""
     b, p, _ = props.boxes.shape
     batch_idx = jnp.broadcast_to(jnp.arange(b, dtype=props.boxes.dtype)[:, None],
                                  (b, p))

@@ -49,7 +49,10 @@ def sample_rois_single(key,
                        bg_thresh_hi: float = 0.5,
                        bg_thresh_lo: float = 0.0,
                        include_gt: bool = True,
-                       bbox_inside_weight: float = 1.0):
+                       bbox_inside_weights=(1.0, 1.0, 1.0, 1.0),
+                       normalize_targets: bool = False,
+                       normalize_means=(0.0, 0.0, 0.0, 0.0),
+                       normalize_stds=(0.1, 0.1, 0.2, 0.2)):
     """Sample ROIs for ONE supervised image."""
     p = prop_boxes.shape[0]
     g = gt_boxes.shape[0]
@@ -116,6 +119,14 @@ def sample_rois_single(key,
     # Per-class expanded regression targets (:187-210).
     matched = gt_boxes[gt_assignment[order], :4]
     tgt = bbox_transform(rois, matched)
+    if normalize_targets:
+        # TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED (:221-224): whiten by
+        # the configured means/stds.  The decode side un-whitens bbox_pred
+        # before bbox_transform_inv (evaluate/detect.py) — equivalent to
+        # the reference's snapshot-time weight re-scaling dance
+        # (train_bus.py:133-173) without mutating checkpoints.
+        tgt = (tgt - jnp.asarray(normalize_means, jnp.float32)) \
+            / jnp.asarray(normalize_stds, jnp.float32)
     bbox_targets = jnp.zeros((rois_per_image, 4 * num_classes), jnp.float32)
     inside_w = jnp.zeros_like(bbox_targets)
     cls = jnp.clip(labels, 0, num_classes - 1)
@@ -124,15 +135,19 @@ def sample_rois_single(key,
     row = jnp.arange(rois_per_image)[:, None]
     bbox_targets = bbox_targets.at[row, cols].set(
         jnp.where(has_reg[:, None], tgt, 0.0))
+    iw = jnp.broadcast_to(jnp.asarray(bbox_inside_weights, jnp.float32),
+                          tgt.shape)
     inside_w = inside_w.at[row, cols].set(
-        jnp.where(has_reg[:, None], bbox_inside_weight, 0.0))
+        jnp.where(has_reg[:, None], iw, 0.0))
     outside_w = (inside_w > 0).astype(jnp.float32)
 
     return rois, labels, bbox_targets, inside_w, outside_w
 
 
 @partial(jax.jit, static_argnames=("num_classes", "rois_per_image",
-                                   "fg_fraction", "include_gt"))
+                                   "fg_fraction", "include_gt",
+                                   "bbox_inside_weights", "normalize_targets",
+                                   "normalize_means", "normalize_stds"))
 def proposal_target_layer(key,
                           prop_boxes: jnp.ndarray,  # [B, P, 4]
                           prop_valid: jnp.ndarray,  # [B, P]
@@ -144,7 +159,11 @@ def proposal_target_layer(key,
                           fg_thresh: float = 0.5,
                           bg_thresh_hi: float = 0.5,
                           bg_thresh_lo: float = 0.0,
-                          include_gt: bool = True) -> RoiSamples:
+                          include_gt: bool = True,
+                          bbox_inside_weights=(1.0, 1.0, 1.0, 1.0),
+                          normalize_targets: bool = False,
+                          normalize_means=(0.0, 0.0, 0.0, 0.0),
+                          normalize_stds=(0.1, 0.1, 0.2, 0.2)) -> RoiSamples:
     """Batched supervised ROI sampling (weak images are handled outside by
     passing their proposal blocks straight to the head)."""
     b = prop_boxes.shape[0]
@@ -152,6 +171,10 @@ def proposal_target_layer(key,
     fn = partial(sample_rois_single, num_classes=num_classes,
                  rois_per_image=rois_per_image, fg_fraction=fg_fraction,
                  fg_thresh=fg_thresh, bg_thresh_hi=bg_thresh_hi,
-                 bg_thresh_lo=bg_thresh_lo, include_gt=include_gt)
+                 bg_thresh_lo=bg_thresh_lo, include_gt=include_gt,
+                 bbox_inside_weights=tuple(bbox_inside_weights),
+                 normalize_targets=normalize_targets,
+                 normalize_means=tuple(normalize_means),
+                 normalize_stds=tuple(normalize_stds))
     out = jax.vmap(fn)(keys, prop_boxes, prop_valid, gt_boxes, num_gt)
     return RoiSamples(*out)

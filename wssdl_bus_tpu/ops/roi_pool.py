@@ -7,13 +7,21 @@ backward (``roi_pooling_op.cc`` backward kernels, ``_gpu.cu.cc:113-190``)
 with a differentiable gather-max: the VJP through ``max`` reproduces the
 scatter-to-argmax backward for free.
 
-Semantics reproduced bit-for-bit (see tests/oracles.py::roi_pool_oracle):
+Semantics reproduced (see tests/oracles.py::roi_pool_oracle):
   * ROI corners quantized with round-half-away-from-zero
     (C ``round()``, coords are non-negative so ``floor(x + 0.5)``);
   * malformed ROIs forced to 1x1 (``max(end - start + 1, 1)``);
-  * bin edges: the reference casts the float edge to int BEFORE floor/ceil
-    (``floor(static_cast<int>(ph * bin_h))``), so BOTH edges truncate and the
-    documented ceil is a no-op — bins can be empty even inside the ROI;
+  * bin edges — the reference's CPU and GPU kernels DISAGREE, so both are
+    supported via ``flavor``:
+      - ``"gpu"`` (default): true floor/ceil edges
+        (``roi_pooling_op_gpu.cu.cc:51-58``), the classic overlapping
+        Fast-RCNN bins.  This is what the reference actually computes: its
+        build compiles the CUDA kernel (make.sh) and TF places the op on
+        the GPU, so published results trained/tested with these bins;
+      - ``"cpu"``: the CPU kernel casts the float edge to int BEFORE
+        floor/ceil (``floor(static_cast<int>(ph * bin_h))``,
+        roi_pooling_op.cc:167-170), so BOTH edges truncate, the documented
+        ceil is a no-op, and bins can be empty even inside the ROI;
   * empty bins (after clipping to the feature extent) output 0 and
     backprop nothing.
 
@@ -41,17 +49,26 @@ def _round_half_up(x):
     return jnp.floor(x + 0.5)
 
 
-def _bin_masks(start_q, size_q, pooled, limit):
+def _bin_masks(start_q, size_q, pooled, limit, flavor):
     """Per-bin [pooled, limit] window masks along one axis.
 
     start_q/size_q: quantized roi start and (>=1) size, scalars.
-    Bin edges replicate the reference exactly: the float edge is cast to int
-    BEFORE floor/ceil, so both edges truncate.
+    Bin edges per ``flavor`` (see module docstring): 'gpu' = floor/ceil
+    (overlapping bins), 'cpu' = both edges truncated.
     """
-    bin_size = size_q.astype(jnp.float32) / pooled
-    p = jnp.arange(pooled, dtype=jnp.float32)
-    lo = (p * bin_size).astype(jnp.int32) + start_q         # trunc
-    hi = ((p + 1.0) * bin_size).astype(jnp.int32) + start_q  # trunc
+    # EXACT integer bin edges: floor(k*size/pooled) / ceil((k+1)*size/pooled)
+    # as integer division.  The C kernels compute these through f32
+    # (size/pooled then multiply), whose rounding is compiler-dependent at
+    # integer boundaries (nvcc reciprocal-multiplies, XLA strength-reduces
+    # differently) — the reference's own CPU and GPU binaries already
+    # disagree there, so we pin the mathematically-intended rational edges.
+    p = jnp.arange(pooled, dtype=jnp.int32)
+    lo = (p * size_q) // pooled + start_q
+    if flavor == "gpu":
+        # ceildiv via non-negative operands only (C-trunc == floor there)
+        hi = ((p + 1) * size_q + (pooled - 1)) // pooled + start_q
+    else:
+        hi = ((p + 1) * size_q) // pooled + start_q      # floordiv (trunc)
     lo = jnp.clip(lo, 0, limit)
     hi = jnp.clip(hi, 0, limit)
     idx = jnp.arange(limit)
@@ -59,7 +76,7 @@ def _bin_masks(start_q, size_q, pooled, limit):
     return mask, hi > lo
 
 
-def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale):
+def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale, flavor):
     """Pool ONE roi against the full [B, H, W, C] feature stack."""
     b_idx = roi[0].astype(jnp.int32)
     q = _round_half_up(roi[1:5] * spatial_scale).astype(jnp.int32)
@@ -70,8 +87,8 @@ def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale):
     _, h, w, c = feat.shape
     feat_b = jax.lax.dynamic_index_in_dim(feat, b_idx, axis=0, keepdims=False)
 
-    h_mask, h_ok = _bin_masks(rsh, roi_h, pooled_h, h)   # [Ph, H], [Ph]
-    w_mask, w_ok = _bin_masks(rsw, roi_w, pooled_w, w)   # [Pw, W], [Pw]
+    h_mask, h_ok = _bin_masks(rsh, roi_h, pooled_h, h, flavor)  # [Ph, H]
+    w_mask, w_ok = _bin_masks(rsw, roi_w, pooled_w, w, flavor)  # [Pw, W]
 
     neg_inf = jnp.asarray(-jnp.inf, feat.dtype)
 
@@ -89,17 +106,18 @@ def _roi_pool_one(feat, roi, pooled_h, pooled_w, spatial_scale):
 
 
 @partial(jax.jit, static_argnames=("pooled_h", "pooled_w", "spatial_scale",
-                                   "chunk"))
+                                   "chunk", "flavor"))
 def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
              pooled_h: int = 7, pooled_w: int = 7,
              spatial_scale: float = 1.0 / 16.0,
-             chunk: int = 256) -> jnp.ndarray:
+             chunk: int = 256, flavor: str = "gpu") -> jnp.ndarray:
     """ROI max pooling.
 
     Args:
       feat: [B, H, W, C] feature maps (NHWC).
       rois: [R, 5] rows of (batch_idx, x1, y1, x2, y2) in input-image coords.
       chunk: ROIs processed per ``lax.map`` step to bound peak memory.
+      flavor: 'gpu' (reference CUDA bin edges, default) or 'cpu'.
     Returns:
       [R, pooled_h, pooled_w, C].
     """
@@ -116,7 +134,7 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
             [rois, jnp.zeros((pad, 5), rois.dtype)], axis=0)
 
     fn = partial(_roi_pool_one, feat, pooled_h=pooled_h, pooled_w=pooled_w,
-                 spatial_scale=spatial_scale)
+                 spatial_scale=spatial_scale, flavor=flavor)
     chunked = rois.reshape(-1, chunk, 5)
     # remat: without it the VJP saves the [R, Ph, H, W, C] selection
     # predicates as residuals (tens of GB at training ROI counts); with it

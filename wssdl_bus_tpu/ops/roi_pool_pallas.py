@@ -44,13 +44,21 @@ from jax.experimental.pallas import tpu as pltpu
 ROI_BLOCK = 8
 
 
-def _bin_window(coord_lo, size, pooled, k, limit, span):
-    """Scalar bin-k window along one axis: (start, lo, hi) ints with
-    lo/hi the true truncated bin edges clipped to [0, limit] and start the
-    slice origin such that [start, start+span) covers [lo, hi)."""
-    bs = size.astype(jnp.float32) / pooled
-    lo = (k.astype(jnp.float32) * bs).astype(jnp.int32) + coord_lo
-    hi = ((k.astype(jnp.float32) + 1.0) * bs).astype(jnp.int32) + coord_lo
+def _bin_window(coord_lo, size, pooled, k, limit, span, flavor):
+    """Scalar bin-k window along one axis: (start, lo, hi) ints with lo/hi
+    the bin edges clipped to [0, limit] and start the slice origin such that
+    [start, start+span) covers [lo, hi).  Edges per ``flavor``: 'gpu' =
+    floor/ceil (reference CUDA kernel, roi_pooling_op_gpu.cu.cc:51-58),
+    'cpu' = both truncated (roi_pooling_op.cc:167-170).  Either way
+    hi - lo <= floor(limit/pooled) + 2 == the span (see _spans)."""
+    # exact integer edges — see ops/roi_pool.py::_bin_masks for why the C
+    # kernels' f32 formulation is not reproducible bit-for-bit
+    lo = (k * size) // pooled + coord_lo
+    if flavor == "gpu":
+        # ceildiv via non-negative operands only (C-trunc == floor there)
+        hi = ((k + 1) * size + (pooled - 1)) // pooled + coord_lo
+    else:
+        hi = ((k + 1) * size) // pooled + coord_lo       # floordiv (trunc)
     lo = jnp.clip(lo, 0, limit)
     hi = jnp.clip(hi, 0, limit)
     start = jnp.clip(lo, 0, limit - span)
@@ -72,7 +80,7 @@ def _quantize(rois_ref, r, spatial_scale):
 
 
 def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
-                spatial_scale, span_h, span_w, wspan):
+                spatial_scale, span_h, span_w, wspan, flavor):
     """Separable pool: per roi, stage 1 reduces each row-bin's [span_h, W, C]
     H-slice into rows_ref [Ph, W_pad, C] (dynamic slicing only along H —
     Mosaic allows unaligned dynamic slices only on non-tiled axes), stage 2
@@ -104,7 +112,7 @@ def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
         rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
         for i in range(pooled_h):
             sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
-                                         jnp.int32(i), h, span_h)
+                                         jnp.int32(i), h, span_h, flavor)
             win = feat_ref[pl.ds(sh, span_h), :, :]
             off_h = (((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h))
                      .astype(jnp.float32) - 1.0) * big    # 0 in-bin, -big out
@@ -114,7 +122,7 @@ def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
             rows_ref[i, :w, :] = jnp.max(win + off_h, axis=0) * ne_h
         for j in range(pooled_w):
             _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
-                                        jnp.int32(j), w, span_w)
+                                        jnp.int32(j), w, span_w, flavor)
             base = pl.multiple_of((lo_w // 8) * 8, 8)
             rows_win = rows_ref[:, pl.ds(base, wspan), :]
             off_w = (((iota_ws + base >= lo_w) & (iota_ws + base < hi_w))
@@ -128,7 +136,7 @@ def _fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h, pooled_w,
 
 
 def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
-                spatial_scale, span_h, span_w):
+                spatial_scale, span_h, span_w, flavor):
     h, w, c = feat_ref.shape
 
     # zero this channel-block's dfeat at the first ROI block (grid is
@@ -153,7 +161,8 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
             rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
             for i in range(pooled_h):
                 sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
-                                             jnp.int32(i), h, span_h)
+                                             jnp.int32(i), h, span_h,
+                                             flavor)
                 # one [span_h, W, C] H-slice per row-bin (dynamic slicing
                 # only along H); f32 masks — see the forward kernel note on
                 # 8-bit broadcasts.  The scatter is SEPARABLE, mirroring the
@@ -176,7 +185,8 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *, pooled_h, pooled_w,
                 g_rows = jnp.zeros((w, c), jnp.float32)
                 for j in range(pooled_w):
                     _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
-                                                jnp.int32(j), w, span_w)
+                                                jnp.int32(j), w, span_w,
+                                                flavor)
                     off_w = (((iota_w2 >= lo_w) & (iota_w2 < hi_w))
                              .astype(jnp.float32) - 1.0) * big  # [W, 1]
                     masked_rows = rows_i + off_w
@@ -230,7 +240,8 @@ def _c_block(c: int, backward: bool = False) -> int:
     return min(c, 256 if backward else 512)
 
 
-def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
+def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
+              flavor):
     h, w, c = feat.shape
     span_h, span_w = _spans(h, w, pooled_h, pooled_w)
     cb = _c_block(c)
@@ -240,7 +251,7 @@ def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
     out = pl.pallas_call(
         partial(_fwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
                 spatial_scale=spatial_scale, span_h=span_h, span_w=span_w,
-                wspan=wspan),
+                wspan=wspan, flavor=flavor),
         out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], pooled_h, pooled_w,
                                         c), feat.dtype),
         grid=grid,
@@ -260,7 +271,8 @@ def _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
     return out[:p]
 
 
-def _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale, interpret):
+def _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale, interpret,
+              flavor):
     h, w, c = feat.shape
     span_h, span_w = _spans(h, w, pooled_h, pooled_w)
     cb = _c_block(c, backward=True)
@@ -272,7 +284,8 @@ def _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale, interpret):
     grid = (c // cb, rois_p.shape[0] // ROI_BLOCK)
     dfeat = pl.pallas_call(
         partial(_bwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
-                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w),
+                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w,
+                flavor=flavor),
         out_shape=jax.ShapeDtypeStruct((h, w, c), feat.dtype),
         grid=grid,
         in_specs=[
@@ -291,22 +304,25 @@ def _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale, interpret):
     return dfeat
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def roi_pool_image(feat, rois, pooled_h=7, pooled_w=7,
-                   spatial_scale=1.0 / 16.0, interpret=False):
+                   spatial_scale=1.0 / 16.0, interpret=False, flavor="gpu"):
     """ROI max pooling for ONE image: [H, W, C] x [P, 4] -> [P, Ph, Pw, C]."""
-    return _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret)
+    return _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
+                     flavor)
 
 
-def _vjp_fwd(feat, rois, pooled_h, pooled_w, spatial_scale, interpret):
-    out = _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret)
+def _vjp_fwd(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
+             flavor):
+    out = _fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
+                    flavor)
     return out, (feat, rois)
 
 
-def _vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, res, g):
+def _vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, flavor, res, g):
     feat, rois = res
     dfeat = _bwd_call(feat, rois, g, pooled_h, pooled_w, spatial_scale,
-                      interpret)
+                      interpret, flavor)
     return dfeat, None
 
 
@@ -316,7 +332,8 @@ roi_pool_image.defvjp(_vjp_fwd, _vjp_bwd)
 def roi_pool_grouped(feat: jnp.ndarray, rois: jnp.ndarray,
                      pooled_h: int = 7, pooled_w: int = 7,
                      spatial_scale: float = 1.0 / 16.0,
-                     force_fallback: bool = False) -> jnp.ndarray:
+                     force_fallback: bool = False,
+                     flavor: str = "gpu") -> jnp.ndarray:
     """Batched ROI pooling with per-image roi groups.
 
     Args:
@@ -338,8 +355,9 @@ def roi_pool_grouped(feat: jnp.ndarray, rois: jnp.ndarray,
         idx = jnp.broadcast_to(
             jnp.arange(b, dtype=rois.dtype)[:, None], (b, p))
         rois5 = jnp.concatenate([idx[..., None], rois], -1).reshape(b * p, 5)
-        out = roi_pool(feat, rois5, pooled_h, pooled_w, spatial_scale)
+        out = roi_pool(feat, rois5, pooled_h, pooled_w, spatial_scale,
+                       flavor=flavor)
         return out.reshape(b, p, pooled_h, pooled_w, feat.shape[-1])
     fn = partial(roi_pool_image, pooled_h=pooled_h, pooled_w=pooled_w,
-                 spatial_scale=spatial_scale)
+                 spatial_scale=spatial_scale, flavor=flavor)
     return jax.vmap(fn)(feat, rois)

@@ -157,7 +157,9 @@ class Engine:
             rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
             pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
             neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
-            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES)
+            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
+            bbox_inside_weights=cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS,
+            positive_weight=cfg.TRAIN.RPN_POSITIVE_WEIGHT)
 
         props = proposal_layer(
             jax.lax.stop_gradient(rpn_prob),
@@ -176,7 +178,11 @@ class Engine:
             fg_fraction=cfg.TRAIN.FG_FRACTION,
             fg_thresh=cfg.TRAIN.FG_THRESH,
             bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
-            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO, include_gt=True)
+            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO, include_gt=True,
+            bbox_inside_weights=cfg.TRAIN.BBOX_INSIDE_WEIGHTS,
+            normalize_targets=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED,
+            normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+            normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
 
         sup_rois = _rois5(samples.rois, 0)
         if n_ws:
@@ -352,7 +358,9 @@ class Engine:
             rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
             pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
             neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
-            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES)
+            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
+            bbox_inside_weights=cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS,
+            positive_weight=cfg.TRAIN.RPN_POSITIVE_WEIGHT)
 
         props = proposal_layer(
             rpn_prob, rpn_bbox, batch["im_info"], self.anchors,
@@ -370,7 +378,11 @@ class Engine:
             fg_thresh=cfg.TRAIN.FG_THRESH,
             bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
             bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
-            include_gt=False)  # is_training=False skips the GT append
+            include_gt=False,  # is_training=False skips the GT append
+            bbox_inside_weights=cfg.TRAIN.BBOX_INSIDE_WEIGHTS,
+            normalize_targets=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED,
+            normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+            normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
 
         rois_all = _rois5(samples.rois, 0)
         pooled = roi_pool_grouped(feat, samples.rois, 7, 7,

@@ -165,8 +165,10 @@ class Solver:
                 self.roidb_test[idx]["width"]
             scale = blobs["im_info"][0, 2]
             boxes = np.asarray(rois)[:, 1:5] / scale
+            from wssdl_bus_tpu.evaluate.detect import unnormalize_bbox_pred
+            bp = unnormalize_bbox_pred(np.asarray(bbox_pred), cfg)
             pred = np.asarray(clip_boxes(
-                np.asarray(bbox_transform_inv(boxes, np.asarray(bbox_pred)))
+                np.asarray(bbox_transform_inv(boxes, bp))
                 .reshape(-1, 4), im_h, im_w)).reshape(len(boxes), -1)
             per_class = apply_nms_per_class(
                 np.asarray(cls_prob), pred, num_classes, 0.05, cfg.TEST.NMS,
@@ -408,7 +410,9 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                                crop_margin=(cfg.TRAIN.CROPPING_MAX_MARGIN
                                             if cfg.TRAIN.USE_CROPPING
                                             else 0.0))
-    model = build_detector(network, net_depth, norm_type, num_classes=3)
+    model = build_detector(network, net_depth, norm_type, num_classes=3,
+                           gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
+                                      cfg.TRAIN.GN_MIN_CHS_PER_G))
     eng = Engine(model, cfg, canvas_hw, num_ws=num_ws, dataset=dataset,
                  opt_name=opt, selector_pair=selector_pair)
     return Solver(eng, cfg, network, roidb_train_s, roidb_train_ws, imdb_test,

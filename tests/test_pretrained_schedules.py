@@ -12,8 +12,9 @@ def test_schedules_const_pc():
     assert ConstSchedule(0.1)(99999) == 0.1
     pc = PiecewiseConstant(0.1, max_iters=1000)
     assert pc(0) == 0.1
-    assert pc(749) == 0.1
-    assert pc(750) == pytest.approx(0.01)
+    # tf.train.piecewise_constant is INCLUSIVE at the boundary
+    assert pc(750) == 0.1
+    assert pc(751) == pytest.approx(0.01)
 
 
 def test_rop_reduces_after_patience():

@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import pprint
 
+import numpy as np
+
 from wssdl_bus_tpu.main.common import (add_common_args, add_train_args,
                                        build_config, load_train_data,
                                        seed_all)
@@ -44,7 +46,9 @@ def main():
               lr_scheduling=args.lr_scheduling, vis=args.qual_res,
               cfg=cfg, net_depth=args.net_depth, norm_type=args.norm_type,
               dataset=args.dataset, canvas_hw=canvas,
-              use_prefetch=not args.no_prefetch, resume=args.resume)
+              use_prefetch=not args.no_prefetch, resume=args.resume,
+              seed=(int(np.random.randint(2 ** 31))
+                    if args.randomize else None))
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -28,6 +29,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libwssdl_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _float_p(arr: np.ndarray):
@@ -35,6 +37,16 @@ def _float_p(arr: np.ndarray):
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    """First-use build + dlopen, serialized: concurrent first calls from
+    prefetch threads must not race `make` against a partially written .so."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
@@ -134,7 +146,10 @@ def brightness_contrast(im: np.ndarray, delta: float, factor: float,
     lib = _load()
     if lib is None:
         return None
-    im = np.ascontiguousarray(im, np.float32)
+    # unconditional copy: the kernel writes in place, and ascontiguousarray
+    # aliases the input when it is already contiguous float32 — the caller's
+    # array must never be mutated
+    im = np.array(im, np.float32, copy=True, order="C")
     lib.wssdl_brightness_contrast(_float_p(im), im.size, float(delta),
                                   float(factor), int(apply_brightness),
                                   int(apply_contrast))

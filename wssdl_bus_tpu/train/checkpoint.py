@@ -22,7 +22,11 @@ def _ckpt_dir(output_dir: str, prefix: str, infix: str, step: int) -> str:
 
 
 def save_checkpoint(output_dir: str, prefix: str, infix: str, step: int,
-                    variables, opt_state) -> str:
+                    variables, opt_state, opt_state_ws=None,
+                    host_state: Optional[dict] = None) -> str:
+    """``opt_state_ws``: the alternating regime's second optimizer state.
+    ``host_state``: picklable host-side training state (LR-schedule state,
+    RNG streams, loss logs) so --resume continues the exact trajectory."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(output_dir, prefix, infix, step)
@@ -32,12 +36,22 @@ def save_checkpoint(output_dir: str, prefix: str, infix: str, step: int,
     ckptr.save(os.path.join(path, "variables"), state, force=True)
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    if opt_state_ws is not None:
+        ckptr.save(os.path.join(path, "opt_state_ws"), opt_state_ws,
+                   force=True)
     ckptr.wait_until_finished()
+    if host_state is not None:
+        import pickle
+
+        with open(os.path.join(path, "host_state.pkl"), "wb") as f:
+            pickle.dump(host_state, f, pickle.HIGHEST_PROTOCOL)
     return path
 
 
-def load_checkpoint(path: str, variables_like, opt_state_like=None):
-    """Restore (variables, step[, opt_state]) from a snapshot directory."""
+def load_checkpoint(path: str, variables_like, opt_state_like=None,
+                    opt_state_ws_like=None):
+    """Restore (variables, step[, opt_state][, opt_state_ws]) from a
+    snapshot directory."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -48,7 +62,21 @@ def load_checkpoint(path: str, variables_like, opt_state_like=None):
     if opt_state_like is not None:
         out.append(ckptr.restore(
             os.path.join(os.path.abspath(path), "opt_state"), opt_state_like))
+    if opt_state_ws_like is not None:
+        ws_path = os.path.join(os.path.abspath(path), "opt_state_ws")
+        out.append(ckptr.restore(ws_path, opt_state_ws_like)
+                   if os.path.isdir(ws_path) else None)
     return tuple(out)
+
+
+def load_host_state(path: str) -> Optional[dict]:
+    p = os.path.join(os.path.abspath(path), "host_state.pkl")
+    if not os.path.exists(p):
+        return None
+    import pickle
+
+    with open(p, "rb") as f:
+        return pickle.load(f)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:

@@ -335,11 +335,13 @@ class Engine:
 
     # ------------------------------------------------------------------ #
     @partial(jax.jit, static_argnums=(0,))
-    def eval_step(self, variables, batch, key):
+    def eval_step(self, variables, batch, key, step=0):
         """In-training evaluation forward (reference call stack 3.4): the
         training pipeline with is_training=False — TEST proposal budgets,
         no GT appended to candidates, running BN stats, no dropout — losses
-        plus detection outputs from the SAMPLED rois (train_bus.py:792-892)."""
+        plus detection outputs from the SAMPLED rois (train_bus.py:792-892).
+        ``step`` feeds the adaptive MIL scale like the reference's fetched
+        ``mil_cross_entropy`` at the current global step (:445-451)."""
         cfg = self.cfg
         n_s = batch["data"].shape[0]
         params = {"trunk": variables["trunk"]["params"],
@@ -400,8 +402,21 @@ class Engine:
                                    samples.inside_weights.reshape(n_s * r, -1),
                                    samples.outside_weights.reshape(n_s * r, -1),
                                    samples.labels.reshape(-1))
+        # test-time MIL bag CE over the sampled rois with the image's BIRADS
+        # bag label (the reference fetches mil_cross_entropy per eval image,
+        # train_bus.py:445-451,519-520)
+        bag_labels = batch["im_info"][:, 3].astype(jnp.int32)
+        bag_logits = get_bag_logits(cls_score.reshape(n_s, r, -1),
+                                    samples.labels >= 0, bag_labels,
+                                    self.selector_pair)
+        if cfg.TRAIN.WS_LOSS_USE_ADAPTIVE_SCALE_FACTOR:
+            mil_scale = L.mil_adaptive_scale(jnp.asarray(step, jnp.int32))
+        else:
+            mil_scale = cfg.TRAIN.WS_LOSS_SCALE_FACTOR
+        mil = L.mil_class_loss(bag_logits, bag_labels, cfg.TRAIN.WS_MAL_PCT,
+                               mil_scale)
         ls = StepLosses(rpn_cls + rpn_box + rcnn_cls + rcnn_box,
-                        rpn_cls, rpn_box, rcnn_cls, rcnn_box, jnp.float32(0.0))
+                        rpn_cls, rpn_box, rcnn_cls, rcnn_box, mil)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return ls, rois_all, cls_prob, bbox_pred, samples.labels.reshape(-1)
 

@@ -21,6 +21,12 @@ class ConstSchedule:
     def on_val_end(self, logs):
         pass
 
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, d: dict):
+        pass
+
 
 class PiecewiseConstant:
     """0.1x at 75% of max_iters (train_bus.py:276-279)."""
@@ -30,9 +36,17 @@ class PiecewiseConstant:
         self.boundary = int(max_iters * 0.75)
 
     def __call__(self, step: int) -> float:
-        return self.lr if step < self.boundary else self.lr * 0.1
+        # tf.train.piecewise_constant returns values[0] for
+        # step <= boundaries[0] (inclusive), train_bus.py:277-279
+        return self.lr if step <= self.boundary else self.lr * 0.1
 
     def on_val_end(self, logs):
+        pass
+
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, d: dict):
         pass
 
 
@@ -83,6 +97,17 @@ class ReduceLROnPlateau:
 
     def __call__(self, step: int) -> float:
         return self.cur_lr
+
+    def state_dict(self) -> dict:
+        return {"cur_lr": self.cur_lr, "cooldown_counter":
+                self.cooldown_counter, "wait": self.wait,
+                "best": float(self.best)}
+
+    def load_state_dict(self, d: dict):
+        self.cur_lr = d["cur_lr"]
+        self.cooldown_counter = d["cooldown_counter"]
+        self.wait = d["wait"]
+        self.best = d["best"]
 
 
 def build_schedule(name: str, lr: float, max_iters: int):

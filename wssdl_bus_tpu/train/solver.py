@@ -68,6 +68,11 @@ class Solver:
         self.rng = np.random.RandomState(
             cfg.RNG_SEED if seed is None else seed)
         self.key = jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed)
+        # Dedicated eval-time stream: periodic_eval runs on the main thread
+        # while prefetch workers draw from their own per-layer streams —
+        # np.random.RandomState is NOT thread-safe, so streams are never
+        # shared across threads (each seeded deterministically from self.rng)
+        self.eval_rng = np.random.RandomState(self.rng.randint(2 ** 31))
 
         self.variables, self.opt_state = self.eng.init(
             jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed))
@@ -80,14 +85,29 @@ class Solver:
         # mid-training resume — a capability the reference LACKS (its
         # checkpoints are only ever consumed by test.py, SURVEY.md §5.4)
         self.start_iter = 0
+        self._resume_ckpt = None
+        self._saved_test_loss_logs = []
         if resume:
             from wssdl_bus_tpu.train.checkpoint import (latest_checkpoint,
-                                                        load_checkpoint)
+                                                        load_checkpoint,
+                                                        load_host_state)
             ckpt = latest_checkpoint(output_dir)
             if ckpt is not None:
                 self.variables, step, self.opt_state = load_checkpoint(
                     ckpt, self.variables, self.opt_state)
                 self.start_iter = step
+                self._resume_ckpt = ckpt
+                host = load_host_state(ckpt)
+                if host:
+                    # continue the exact trajectory: LR-schedule state, the
+                    # jax key stream, loss logs driving 'rop'
+                    self.schedule.load_state_dict(host.get("schedule", {}))
+                    self._saved_test_loss_logs = host.get(
+                        "test_loss_logs", [])
+                    if "key" in host:
+                        self.key = jnp.asarray(host["key"])
+                    if "eval_rng" in host:
+                        self.eval_rng.set_state(host["eval_rng"])
                 print(f"Resumed from {ckpt} at iter {step}")
 
     # ------------------------------------------------------------------ #
@@ -114,11 +134,16 @@ class Solver:
             jax.profiler.stop_trace()
             self._tracing = False
 
-    def snapshot(self, step: int):
+    def snapshot(self, step: int, opt_state_ws=None, test_loss_logs=None):
         t = self.cfg.TRAIN
+        host = {"schedule": self.schedule.state_dict(),
+                "test_loss_logs": list(test_loss_logs or []),
+                "key": np.asarray(self.key),
+                "eval_rng": self.eval_rng.get_state()}
         path = save_checkpoint(self.output_dir, t.SNAPSHOT_PREFIX,
                                t.SNAPSHOT_INFIX, step + 1,
-                               self.variables, self.opt_state)
+                               self.variables, self.opt_state,
+                               opt_state_ws=opt_state_ws, host_state=host)
         print(f"Wrote snapshot to: {path}")
 
     # ------------------------------------------------------------------ #
@@ -154,16 +179,23 @@ class Solver:
         for idx in range(len_test):
             blobs = get_minibatch([self.roidb_test[idx]], self.net_name, cfg,
                                   self.eng.canvas_hw, is_training=False,
-                                  is_ws=False, rng=self.rng)
-            ls, rois, cls_prob, bbox_pred, _ = self.eng.eval_step(
+                                  is_ws=False, rng=self.eval_rng)
+            ls, rois, cls_prob, bbox_pred, labels = self.eng.eval_step(
                 self.variables, {k: jnp.asarray(v) for k, v in blobs.items()},
-                self._next_key())
+                self._next_key(), jnp.int32(it))
             v = self._losses_np(ls)
             test_loss += v
 
             im_h, im_w = self.roidb_test[idx]["height"], \
                 self.roidb_test[idx]["width"]
             scale = blobs["im_info"][0, 2]
+            # drop unfilled sampler slots (label -1): their rows hold
+            # arbitrary unselected candidates, and the reference evaluates
+            # only the actually-sampled rois (train_bus.py:811-850)
+            filled = np.asarray(labels) >= 0
+            rois = np.asarray(rois)[filled]
+            cls_prob = np.asarray(cls_prob)[filled]
+            bbox_pred = np.asarray(bbox_pred)[filled]
             boxes = np.asarray(rois)[:, 1:5] / scale
             from wssdl_bus_tpu.evaluate.detect import unnormalize_bbox_pred
             bp = unnormalize_bbox_pred(np.asarray(bbox_pred), cfg)
@@ -232,14 +264,15 @@ class Solver:
     def train_combined(self):
         """The combined-minibatch regime (train_model, train_bus.py:595-957)."""
         cfg = self.cfg
-        layer = RoIDataLayerJoint(self.roidb_train_s, self.roidb_train_ws,
-                                  self.net_name, cfg, self.eng.canvas_hw,
-                                  rng=self.rng)
+        layer = RoIDataLayerJoint(
+            self.roidb_train_s, self.roidb_train_ws, self.net_name, cfg,
+            self.eng.canvas_hw,
+            rng=np.random.RandomState(self.rng.randint(2 ** 31)))
         if self.use_prefetch:
             layer = Prefetcher(layer)
         timer = Timer()
         training_loss = np.zeros((6,))
-        test_loss_logs = []
+        test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
 
         # losses stay ON DEVICE in the hot loop (each host read is a device
@@ -276,14 +309,14 @@ class Solver:
                 print(f"speed: {timer.average_time:.3f}s / iter")
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
-                self.snapshot(it)
+                self.snapshot(it, test_loss_logs=test_loss_logs)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
                 pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
 
         if last_snapshot_iter != self.max_iters - 1:
-            self.snapshot(self.max_iters - 1)
+            self.snapshot(self.max_iters - 1, test_loss_logs=test_loss_logs)
         if self.use_prefetch:
             layer.close()
         self.logger.close()
@@ -313,30 +346,53 @@ class Solver:
         params = {"trunk": self.variables["trunk"]["params"],
                   "head": self.variables["head"]["params"]}
         opt_state_ws = self.eng.tx.init(params)
+        if self._resume_ckpt is not None:
+            # restore the WS optimizer's moments too — resetting them would
+            # make the resumed trajectory diverge from an uninterrupted run
+            from wssdl_bus_tpu.train.checkpoint import load_checkpoint
+            restored = load_checkpoint(self._resume_ckpt, self.variables,
+                                       opt_state_ws_like=opt_state_ws)
+            if restored[-1] is not None:
+                opt_state_ws = restored[-1]
 
-        layer_s = RoIDataLayer(self.roidb_train_s, self.net_name, cfg,
-                               self.eng.canvas_hw, is_training=True,
-                               is_ws=False, rng=self.rng)
-        layer_ws = RoIDataLayer(self.roidb_train_ws, self.net_name, cfg,
-                                self.eng.canvas_hw, is_training=True,
-                                is_ws=True, rng=self.rng)
+        layer_s = RoIDataLayer(
+            self.roidb_train_s, self.net_name, cfg, self.eng.canvas_hw,
+            is_training=True, is_ws=False,
+            rng=np.random.RandomState(self.rng.randint(2 ** 31)))
+        layer_ws = RoIDataLayer(
+            self.roidb_train_ws, self.net_name, cfg, self.eng.canvas_hw,
+            is_training=True, is_ws=True,
+            rng=np.random.RandomState(self.rng.randint(2 ** 31)))
         if self.use_prefetch:
             layer_s, layer_ws = Prefetcher(layer_s), Prefetcher(layer_ws)
 
         timer = Timer()
         training_loss = np.zeros((6,))
-        test_loss_logs = []
+        test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
+        # the reference counts WS optimizer steps separately: the adaptive
+        # MIL scale decays on the WS-update count, not the loop iteration
+        # (train_bus.py:287-301 — global_step increments only on WS
+        # apply_gradients, once per WS_TRAIN_INTERVAL iterations)
+        ws_step = 0
 
         # device-resident loss accumulation, drained at every DISPLAY
         # boundary (see train_combined for why draining must be bounded)
         pending = []
 
+        # carry-forward logging like the reference (train_bus.py:362-399):
+        # iterations without a supervised step repeat the previous losses;
+        # the MIL slot starts at -log(1/3) before the first WS step
+        carry = np.array([0, 0, 0, 0, 0, float(np.log(3.0))])
+
         def to_np(pair):
             ls_i, mil_i = pair
-            v = np.zeros((6,)) if ls_i is None else self._losses_np(ls_i)
+            v = carry.copy()
+            if ls_i is not None:
+                v[:5] = self._losses_np(ls_i)[:5]
             if mil_i is not None:
                 v[5] = float(mil_i)
+            carry[:] = v
             return v
 
         def drain(pending):
@@ -362,7 +418,9 @@ class Solver:
                 self.variables, opt_state_ws, mil = eng_ws.train_step_mil(
                     self.variables, opt_state_ws,
                     {k: jnp.asarray(b) for k, b in blobs.items()},
-                    self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
+                    self._next_key(), jnp.float32(cur_lr),
+                    jnp.int32(ws_step))
+                ws_step += 1
             last = (ls, mil)
             pending.append(last)
             if len(pending) >= 25:  # hard cap independent of DISPLAY
@@ -376,14 +434,16 @@ class Solver:
                 print(f"speed: {timer.average_time:.3f}s / iter")
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
-                self.snapshot(it)
+                self.snapshot(it, opt_state_ws=opt_state_ws,
+                              test_loss_logs=test_loss_logs)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
                 pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
 
         if last_snapshot_iter != self.max_iters - 1:
-            self.snapshot(self.max_iters - 1)
+            self.snapshot(self.max_iters - 1, opt_state_ws=opt_state_ws,
+                          test_loss_logs=test_loss_logs)
         if self.use_prefetch:
             layer_s.close()
             layer_ws.close()
@@ -397,7 +457,7 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, pretrained_model, opt, lr,
                   lr_scheduling, vis, max_iters, cfg, net_depth, norm_type,
                   dataset, canvas_hw, num_ws, selector_pair, use_prefetch,
-                  resume):
+                  resume, seed=None):
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.models.detector import build_detector
 
@@ -418,7 +478,8 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
     return Solver(eng, cfg, network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, lr_scheduling=lr_scheduling,
                   max_iters=max_iters, pretrained=pretrained_model,
-                  use_prefetch=use_prefetch, vis=vis, resume=resume)
+                  use_prefetch=use_prefetch, vis=vis, resume=resume,
+                  seed=seed)
 
 
 def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
@@ -427,7 +488,7 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
               ws_end_iter=80000, opt="adam", lr=5e-4, lr_scheduling="const",
               vis=False, *, cfg=None, net_depth=18, norm_type="BN",
               dataset="SNUBH", canvas_hw=None, use_prefetch=True,
-              resume=False) -> Solver:
+              resume=False, seed=None) -> Solver:
     """Combined-minibatch training (reference ``train_net``,
     train_bus.py:1073-1088).  The s/ws window arguments are accepted for
     signature parity; like the reference's ``train_model`` they are unused in
@@ -440,7 +501,7 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
         output_dir, pretrained_model, opt, lr, lr_scheduling, vis, max_iters,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=None, selector_pair=("mal_max", "mal_max"),
-        use_prefetch=use_prefetch, resume=resume)
+        use_prefetch=use_prefetch, resume=resume, seed=seed)
     print("Solving...")
     solver.train_combined()
     print("done solving")
@@ -453,7 +514,8 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
                     ws_start_iter=0, ws_end_iter=80000, opt="adam", lr=5e-4,
                     lr_scheduling="const", vis=False, *, cfg=None,
                     net_depth=18, norm_type="BN", dataset="SNUBH",
-                    canvas_hw=None, use_prefetch=True, resume=False) -> Solver:
+                    canvas_hw=None, use_prefetch=True, resume=False,
+                    seed=None) -> Solver:
     """Alternating-minibatch training (reference ``train_net_alter``,
     train_bus.py:1055-1070).  Supervised-only training: pass
     ``ws_start_iter > max_iters`` (train_alter.py:3-5)."""
@@ -462,7 +524,7 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
         output_dir, pretrained_model, opt, lr, lr_scheduling, vis, max_iters,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=0, selector_pair=("mass_max", "mal_max"),
-        use_prefetch=use_prefetch, resume=resume)
+        use_prefetch=use_prefetch, resume=resume, seed=seed)
     print("Solving...")
     solver.train_alternating(s_start_iter, s_end_iter, ws_start_iter,
                              ws_end_iter)

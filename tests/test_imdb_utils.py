@@ -109,3 +109,45 @@ def test_get_test_roidb_and_data_layer_factory():
     blobs = joint.forward()
     assert blobs["data"].shape[0] == (cfg.TRAIN.IMS_PER_BATCH
                                       + cfg.TRAIN.WS_IMS_PER_BATCH)
+
+
+def test_solver_resume_alternating_ws_state(tmp_path):
+    """Alternating-regime resume: snapshots carry the WS optimizer state and
+    host state (schedule, key stream), and resume restores them."""
+    from wssdl_bus_tpu.config import Config
+    from wssdl_bus_tpu.data.augment import max_canvas
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.checkpoint import load_host_state
+    from wssdl_bus_tpu.train.engine import Engine
+    from wssdl_bus_tpu.train.solver import Solver
+
+    cfg = Config().with_overrides([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
+        "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
+        "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
+        "TRAIN.DISPLAY", "1000",
+    ])
+    imdb = get_imdb("bus_test", DATA)
+    roidb = prepare_roidb(imdb)
+    canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
+
+    eng = Engine(build_detector("VGGnet_train"), cfg, canvas, num_ws=0)
+    s = Solver(eng, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+               str(tmp_path), max_iters=2, use_prefetch=False)
+    s.train_alternating(0, 9, 0, 9)
+    snap = os.path.join(str(tmp_path), sorted(
+        d for d in os.listdir(tmp_path) if "_iter_2" in d)[-1])
+    assert os.path.isdir(os.path.join(snap, "opt_state_ws"))
+    host = load_host_state(snap)
+    assert host is not None and "schedule" in host and "key" in host
+
+    eng2 = Engine(build_detector("VGGnet_train"), cfg, canvas, num_ws=0)
+    s2 = Solver(eng2, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                str(tmp_path), max_iters=3, use_prefetch=False, resume=True)
+    assert s2.start_iter == 2
+    s2.train_alternating(0, 9, 0, 9)
+    assert any("_iter_3" in d for d in os.listdir(tmp_path))

@@ -22,8 +22,10 @@ host-side numpy, same as the reference's Cython path.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import pickle
+
 import numpy as np
 
 from wssdl_bus_tpu.data.augment import prep_image
@@ -207,11 +209,6 @@ def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
     return out
 
 
-def _null_ctx():
-    import contextlib
-    return contextlib.nullcontext()
-
-
 def test_net(eng, variables, imdb, output_dir: str, net_name: str,
              canvas_hw, max_per_image: int = 300, thresh: float = 0.05,
              verbose: bool = True, vis: bool = False, batch_size: int = 1):
@@ -243,7 +240,8 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
                 # pad the tail batch to the compiled batch size
                 padded = ims + [ims[-1]] * (batch_size - len(ims))
                 t_det.tic()
-                with trace if start == batch_size else _null_ctx():
+                with trace if start == batch_size \
+                        else contextlib.nullcontext():
                     results = im_detect_batch(eng, variables, padded,
                                               net_name, canvas_hw)
                 t_det.toc()
@@ -253,7 +251,8 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
             for i in range(num_images):
                 im = imdb.read_image(i)
                 t_det.tic()
-                with trace if i == min(1, num_images - 1) else _null_ctx():
+                with trace if i == min(1, num_images - 1) \
+                        else contextlib.nullcontext():
                     scores, boxes = im_detect(eng, variables, im, net_name,
                                               canvas_hw)
                 t_det.toc()

@@ -110,6 +110,28 @@ class Engine:
         self.anchors = jnp.asarray(shifted_anchors(
             fh, fw, cfg.FEAT_STRIDE, cfg.ANCHOR_RATIOS, cfg.ANCHOR_SCALES))
         self.num_anchors = len(cfg.ANCHOR_RATIOS) * len(cfg.ANCHOR_SCALES)
+        # static kwargs shared by the train and eval pipelines (one source
+        # of truth so the two call sites cannot drift)
+        self._at_kwargs = dict(
+            dataset=self.dataset,
+            rpn_batchsize=cfg.TRAIN.RPN_BATCHSIZE,
+            rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
+            pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
+            neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
+            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
+            bbox_inside_weights=cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS,
+            positive_weight=cfg.TRAIN.RPN_POSITIVE_WEIGHT)
+        self._pt_kwargs = dict(
+            num_classes=self.model.num_classes,
+            rois_per_image=cfg.TRAIN.BATCH_SIZE,
+            fg_fraction=cfg.TRAIN.FG_FRACTION,
+            fg_thresh=cfg.TRAIN.FG_THRESH,
+            bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
+            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
+            bbox_inside_weights=cfg.TRAIN.BBOX_INSIDE_WEIGHTS,
+            normalize_targets=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED,
+            normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+            normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
 
     # ------------------------------------------------------------------ #
     def init(self, rng):
@@ -152,14 +174,7 @@ class Engine:
 
         at = anchor_target_layer_joint(
             k_at, batch["gt_boxes"], batch["num_gt_boxes"], batch["im_info"],
-            self.anchors, num_supervised=n_s, dataset=self.dataset,
-            rpn_batchsize=cfg.TRAIN.RPN_BATCHSIZE,
-            rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
-            pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
-            neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
-            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
-            bbox_inside_weights=cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS,
-            positive_weight=cfg.TRAIN.RPN_POSITIVE_WEIGHT)
+            self.anchors, num_supervised=n_s, **self._at_kwargs)
 
         props = proposal_layer(
             jax.lax.stop_gradient(rpn_prob),
@@ -173,16 +188,7 @@ class Engine:
         samples = proposal_target_layer(
             k_pt, props.boxes[:n_s], props.valid[:n_s],
             batch["gt_boxes"][:n_s], batch["num_gt_boxes"][:n_s],
-            num_classes=self.model.num_classes,
-            rois_per_image=cfg.TRAIN.BATCH_SIZE,
-            fg_fraction=cfg.TRAIN.FG_FRACTION,
-            fg_thresh=cfg.TRAIN.FG_THRESH,
-            bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
-            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO, include_gt=True,
-            bbox_inside_weights=cfg.TRAIN.BBOX_INSIDE_WEIGHTS,
-            normalize_targets=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED,
-            normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
-            normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
+            include_gt=True, **self._pt_kwargs)
 
         sup_rois = _rois5(samples.rois, 0)
         if n_ws:
@@ -355,14 +361,7 @@ class Engine:
 
         at = anchor_target_layer_joint(
             k_at, batch["gt_boxes"], batch["num_gt_boxes"], batch["im_info"],
-            self.anchors, num_supervised=n_s, dataset=self.dataset,
-            rpn_batchsize=cfg.TRAIN.RPN_BATCHSIZE,
-            rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
-            pos_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
-            neg_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
-            clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
-            bbox_inside_weights=cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS,
-            positive_weight=cfg.TRAIN.RPN_POSITIVE_WEIGHT)
+            self.anchors, num_supervised=n_s, **self._at_kwargs)
 
         props = proposal_layer(
             rpn_prob, rpn_bbox, batch["im_info"], self.anchors,
@@ -374,17 +373,9 @@ class Engine:
 
         samples = proposal_target_layer(
             k_pt, props.boxes, props.valid, batch["gt_boxes"],
-            batch["num_gt_boxes"], num_classes=self.model.num_classes,
-            rois_per_image=cfg.TRAIN.BATCH_SIZE,
-            fg_fraction=cfg.TRAIN.FG_FRACTION,
-            fg_thresh=cfg.TRAIN.FG_THRESH,
-            bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
-            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
+            batch["num_gt_boxes"],
             include_gt=False,  # is_training=False skips the GT append
-            bbox_inside_weights=cfg.TRAIN.BBOX_INSIDE_WEIGHTS,
-            normalize_targets=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED,
-            normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
-            normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
+            **self._pt_kwargs)
 
         rois_all = _rois5(samples.rois, 0)
         pooled = roi_pool_grouped(feat, samples.rois, 7, 7,

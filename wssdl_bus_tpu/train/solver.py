@@ -174,6 +174,7 @@ class Solver:
         test_dir = os.path.join(self.output_dir, "test")
         os.makedirs(test_dir, exist_ok=True)
 
+        from wssdl_bus_tpu.evaluate.detect import unnormalize_bbox_pred
         from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 
         for idx in range(len_test):
@@ -197,7 +198,6 @@ class Solver:
             cls_prob = np.asarray(cls_prob)[filled]
             bbox_pred = np.asarray(bbox_pred)[filled]
             boxes = np.asarray(rois)[:, 1:5] / scale
-            from wssdl_bus_tpu.evaluate.detect import unnormalize_bbox_pred
             bp = unnormalize_bbox_pred(np.asarray(bbox_pred), cfg)
             pred = np.asarray(clip_boxes(
                 np.asarray(bbox_transform_inv(boxes, bp))

@@ -150,3 +150,34 @@ def get_data_layer(roidbs, net_name, cfg, canvas_hw, is_training,
                                  canvas_hw, is_training=is_training, rng=rng)
     return RoIDataLayer(roidbs, net_name, cfg, canvas_hw,
                         is_training=is_training, is_ws=is_ws, rng=rng)
+
+
+def prefetch_iter(gen, depth: int = 2):
+    """Run a generator on a background thread with a bounded queue —
+    overlaps host-side work (file IO, decode, resize) with whatever the
+    consumer does between ``next()`` calls (e.g. a device step).
+
+    Worker exceptions re-raise at the consumer.  If the consumer abandons
+    the iterator early, the daemon worker may stay blocked on a full queue
+    until process exit — use only for run-to-completion loops."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise RuntimeError("prefetch_iter worker failed") from err[0]
+            return
+        yield item

@@ -153,6 +153,20 @@ def im_detect(eng, variables, im: np.ndarray, net_name: str,
                        bbox_pred)
 
 
+def _im_detect_packed(eng, variables, images, blob, infos, scales):
+    """Device step + per-image decode over an already-packed batch blob."""
+    n = blob.shape[0]
+    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
+        variables, blob, infos)
+    p = eng.cfg.TEST.RPN_POST_NMS_TOP_N
+    rois = np.asarray(rois).reshape(n, p, 5)
+    valid = np.asarray(valid).reshape(n, p)
+    cls_prob = np.asarray(cls_prob).reshape(n, p, -1)
+    bbox_pred = np.asarray(bbox_pred).reshape(n, p, -1)
+    return [_decode_one(eng, images[i].shape, scales[i], rois[i], valid[i],
+                        cls_prob[i], bbox_pred[i]) for i in range(n)]
+
+
 def im_detect_batch(eng, variables, images, net_name: str, canvas_hw):
     """Batched serving path (no reference analog — its im_detect is strictly
     single-image, test_bus.py:146): pack B images into the static canvas, one
@@ -167,15 +181,7 @@ def im_detect_batch(eng, variables, images, net_name: str, canvas_hw):
         blob[i] = b[0]
         infos[i] = [h, w, s, 0.0]
         scales.append(s)
-    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
-        variables, blob, infos)
-    p = cfg.TEST.RPN_POST_NMS_TOP_N
-    rois = np.asarray(rois).reshape(n, p, 5)
-    valid = np.asarray(valid).reshape(n, p)
-    cls_prob = np.asarray(cls_prob).reshape(n, p, -1)
-    bbox_pred = np.asarray(bbox_pred).reshape(n, p, -1)
-    return [_decode_one(eng, images[i].shape, scales[i], rois[i], valid[i],
-                        cls_prob[i], bbox_pred[i]) for i in range(n)]
+    return _im_detect_packed(eng, variables, images, blob, infos, scales)
 
 
 def apply_nms_per_class(scores, boxes, num_classes, thresh, nms_thresh,
@@ -229,32 +235,62 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
     from wssdl_bus_tpu.utils import TraceContext
     trace = TraceContext(output_dir, enabled=eng.cfg.TEST.DEBUG_TIMELINE)
 
+    from wssdl_bus_tpu.data.loader import prefetch_iter
+
     def detections():
-        """Yield (i, image, scores, boxes) lazily — the batched path
-        post-processes each batch as it completes, so host memory stays
-        bounded at one batch of raw images/outputs."""
+        """Yield (i, image, scores, boxes) lazily.  Host-side work (file
+        read, decode, resize, canvas packing) runs on a prefetch thread so
+        it overlaps the device step; each batch is post-processed as it
+        completes, keeping host memory bounded at ~one prefetched batch."""
         if batch_size > 1:
-            for start in range(0, num_images, batch_size):
-                idxs = list(range(start, min(start + batch_size, num_images)))
-                ims = [imdb.read_image(i) for i in idxs]
-                # pad the tail batch to the compiled batch size
-                padded = ims + [ims[-1]] * (batch_size - len(ims))
+            def host_batches():
+                for start in range(0, num_images, batch_size):
+                    idxs = list(range(start,
+                                      min(start + batch_size, num_images)))
+                    ims = [imdb.read_image(i) for i in idxs]
+                    # pad the tail batch to the compiled batch size
+                    padded = ims + [ims[-1]] * (batch_size - len(ims))
+                    blob = np.zeros((batch_size, canvas_hw[0], canvas_hw[1],
+                                     3), np.float32)
+                    infos = np.zeros((batch_size, 4), np.float32)
+                    scales = []
+                    for k, im in enumerate(padded):
+                        b, s, (h, w) = get_image_blob(im, net_name, eng.cfg,
+                                                      canvas_hw)
+                        blob[k] = b[0]
+                        infos[k] = [h, w, s, 0.0]
+                        scales.append(s)
+                    yield start, idxs, ims, padded, blob, infos, scales
+
+            for start, idxs, ims, padded, blob, infos, scales \
+                    in prefetch_iter(host_batches()):
                 t_det.tic()
                 with trace if start == batch_size \
                         else contextlib.nullcontext():
-                    results = im_detect_batch(eng, variables, padded,
-                                              net_name, canvas_hw)
+                    # padded (length == compiled batch) carries the shapes
+                    # for decode; only the idxs prefix is real
+                    results = _im_detect_packed(eng, variables, padded, blob,
+                                                infos, scales)
                 t_det.toc()
                 for k, i in enumerate(idxs):
                     yield (i, ims[k]) + results[k]
         else:
-            for i in range(num_images):
-                im = imdb.read_image(i)
+            def host_images():
+                for i in range(num_images):
+                    im = imdb.read_image(i)
+                    blob, scale, (h, w) = get_image_blob(im, net_name,
+                                                         eng.cfg, canvas_hw)
+                    yield i, im, blob, scale, (h, w)
+
+            for i, im, blob, scale, (h, w) in prefetch_iter(host_images()):
+                im_info = np.array([[h, w, scale, 0.0]], np.float32)
                 t_det.tic()
                 with trace if i == min(1, num_images - 1) \
                         else contextlib.nullcontext():
-                    scores, boxes = im_detect(eng, variables, im, net_name,
-                                              canvas_hw)
+                    rois, valid, _, cls_prob, bbox_pred = eng.inference_step(
+                        variables, blob, im_info)
+                    scores, boxes = _decode_one(eng, im.shape, scale, rois,
+                                                valid, cls_prob, bbox_pred)
                 t_det.toc()
                 yield i, im, scores, boxes
 

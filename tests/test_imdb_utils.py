@@ -144,6 +144,7 @@ def test_solver_resume_alternating_ws_state(tmp_path):
     assert os.path.isdir(os.path.join(snap, "opt_state_ws"))
     host = load_host_state(snap)
     assert host is not None and "schedule" in host and "key" in host
+    assert "ws_step" in host and host["ws_step"] >= 1  # MIL scale resumes
 
     eng2 = Engine(build_detector("VGGnet_train"), cfg, canvas, num_ws=0)
     s2 = Solver(eng2, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,

@@ -157,27 +157,52 @@ def prefetch_iter(gen, depth: int = 2):
     overlaps host-side work (file IO, decode, resize) with whatever the
     consumer does between ``next()`` calls (e.g. a device step).
 
-    Worker exceptions re-raise at the consumer.  If the consumer abandons
-    the iterator early, the daemon worker may stay blocked on a full queue
-    until process exit — use only for run-to-completion loops."""
+    Worker exceptions re-raise at the consumer.  Abandoning the iterator
+    early (consumer raises / breaks) stops the worker promptly: puts are
+    timeout-bounded against a stop event that the generator's close hook
+    sets, so no thread or buffer outlives the consumer loop."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     err = []
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise RuntimeError("prefetch_iter worker failed") from err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise RuntimeError(
+                        "prefetch_iter worker failed") from err[0]
+                return
+            yield item
+    finally:
+        # consumer finished or abandoned the loop: unblock the worker and
+        # drop any buffered items
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -153,6 +153,21 @@ def im_detect(eng, variables, im: np.ndarray, net_name: str,
                        bbox_pred)
 
 
+def pack_image_batch(eng, images, net_name, canvas_hw):
+    """Prepare a batch of raw images into (blob, infos, scales) for one
+    device step — the one canonical packing loop for every serving path."""
+    n = len(images)
+    blob = np.zeros((n, canvas_hw[0], canvas_hw[1], 3), np.float32)
+    infos = np.zeros((n, 4), np.float32)
+    scales = []
+    for i, im in enumerate(images):
+        b, s, (h, w) = get_image_blob(im, net_name, eng.cfg, canvas_hw)
+        blob[i] = b[0]
+        infos[i] = [h, w, s, 0.0]
+        scales.append(s)
+    return blob, infos, scales
+
+
 def _im_detect_packed(eng, variables, images, blob, infos, scales):
     """Device step + per-image decode over an already-packed batch blob."""
     n = blob.shape[0]
@@ -171,16 +186,7 @@ def im_detect_batch(eng, variables, images, net_name: str, canvas_hw):
     """Batched serving path (no reference analog — its im_detect is strictly
     single-image, test_bus.py:146): pack B images into the static canvas, one
     device step, split per image.  -> list of (scores, pred_boxes)."""
-    cfg = eng.cfg
-    n = len(images)
-    blob = np.zeros((n, canvas_hw[0], canvas_hw[1], 3), np.float32)
-    infos = np.zeros((n, 4), np.float32)
-    scales = []
-    for i, im in enumerate(images):
-        b, s, (h, w) = get_image_blob(im, net_name, cfg, canvas_hw)
-        blob[i] = b[0]
-        infos[i] = [h, w, s, 0.0]
-        scales.append(s)
+    blob, infos, scales = pack_image_batch(eng, images, net_name, canvas_hw)
     return _im_detect_packed(eng, variables, images, blob, infos, scales)
 
 
@@ -243,6 +249,10 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
         it overlaps the device step; each batch is post-processed as it
         completes, keeping host memory bounded at ~one prefetched batch."""
         if batch_size > 1:
+            # trace the second batch if one exists (post-compile), else the
+            # only batch
+            trace_start = batch_size if num_images > batch_size else 0
+
             def host_batches():
                 for start in range(0, num_images, batch_size):
                     idxs = list(range(start,
@@ -250,22 +260,13 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
                     ims = [imdb.read_image(i) for i in idxs]
                     # pad the tail batch to the compiled batch size
                     padded = ims + [ims[-1]] * (batch_size - len(ims))
-                    blob = np.zeros((batch_size, canvas_hw[0], canvas_hw[1],
-                                     3), np.float32)
-                    infos = np.zeros((batch_size, 4), np.float32)
-                    scales = []
-                    for k, im in enumerate(padded):
-                        b, s, (h, w) = get_image_blob(im, net_name, eng.cfg,
-                                                      canvas_hw)
-                        blob[k] = b[0]
-                        infos[k] = [h, w, s, 0.0]
-                        scales.append(s)
-                    yield start, idxs, ims, padded, blob, infos, scales
+                    yield (start, idxs, ims, padded) + pack_image_batch(
+                        eng, padded, net_name, canvas_hw)
 
             for start, idxs, ims, padded, blob, infos, scales \
                     in prefetch_iter(host_batches()):
                 t_det.tic()
-                with trace if start == batch_size \
+                with trace if start == trace_start \
                         else contextlib.nullcontext():
                     # padded (length == compiled batch) carries the shapes
                     # for decode; only the idxs prefix is real
@@ -278,19 +279,15 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
             def host_images():
                 for i in range(num_images):
                     im = imdb.read_image(i)
-                    blob, scale, (h, w) = get_image_blob(im, net_name,
-                                                         eng.cfg, canvas_hw)
-                    yield i, im, blob, scale, (h, w)
+                    yield (i, im) + pack_image_batch(eng, [im], net_name,
+                                                     canvas_hw)
 
-            for i, im, blob, scale, (h, w) in prefetch_iter(host_images()):
-                im_info = np.array([[h, w, scale, 0.0]], np.float32)
+            for i, im, blob, infos, scales in prefetch_iter(host_images()):
                 t_det.tic()
                 with trace if i == min(1, num_images - 1) \
                         else contextlib.nullcontext():
-                    rois, valid, _, cls_prob, bbox_pred = eng.inference_step(
-                        variables, blob, im_info)
-                    scores, boxes = _decode_one(eng, im.shape, scale, rois,
-                                                valid, cls_prob, bbox_pred)
+                    (scores, boxes), = _im_detect_packed(
+                        eng, variables, [im], blob, infos, scales)
                 t_det.toc()
                 yield i, im, scores, boxes
 

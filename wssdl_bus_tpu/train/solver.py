@@ -87,6 +87,7 @@ class Solver:
         self.start_iter = 0
         self._resume_ckpt = None
         self._saved_test_loss_logs = []
+        self._saved_ws_step = 0
         if resume:
             from wssdl_bus_tpu.train.checkpoint import (latest_checkpoint,
                                                         load_checkpoint,
@@ -104,6 +105,7 @@ class Solver:
                     self.schedule.load_state_dict(host.get("schedule", {}))
                     self._saved_test_loss_logs = host.get(
                         "test_loss_logs", [])
+                    self._saved_ws_step = host.get("ws_step", 0)
                     if "key" in host:
                         self.key = jnp.asarray(host["key"])
                     if "eval_rng" in host:
@@ -134,12 +136,14 @@ class Solver:
             jax.profiler.stop_trace()
             self._tracing = False
 
-    def snapshot(self, step: int, opt_state_ws=None, test_loss_logs=None):
+    def snapshot(self, step: int, opt_state_ws=None, test_loss_logs=None,
+                 ws_step: int = 0):
         t = self.cfg.TRAIN
         host = {"schedule": self.schedule.state_dict(),
                 "test_loss_logs": list(test_loss_logs or []),
                 "key": np.asarray(self.key),
-                "eval_rng": self.eval_rng.get_state()}
+                "eval_rng": self.eval_rng.get_state(),
+                "ws_step": int(ws_step)}
         path = save_checkpoint(self.output_dir, t.SNAPSHOT_PREFIX,
                                t.SNAPSHOT_INFIX, step + 1,
                                self.variables, self.opt_state,
@@ -373,8 +377,9 @@ class Solver:
         # the reference counts WS optimizer steps separately: the adaptive
         # MIL scale decays on the WS-update count, not the loop iteration
         # (train_bus.py:287-301 — global_step increments only on WS
-        # apply_gradients, once per WS_TRAIN_INTERVAL iterations)
-        ws_step = 0
+        # apply_gradients, once per WS_TRAIN_INTERVAL iterations).  Restored
+        # across --resume so the MIL scale does not jump back.
+        ws_step = self._saved_ws_step
 
         # device-resident loss accumulation, drained at every DISPLAY
         # boundary (see train_combined for why draining must be bounded)
@@ -435,7 +440,7 @@ class Solver:
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 last_snapshot_iter = it
                 self.snapshot(it, opt_state_ws=opt_state_ws,
-                              test_loss_logs=test_loss_logs)
+                              test_loss_logs=test_loss_logs, ws_step=ws_step)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
                 pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
@@ -443,7 +448,7 @@ class Solver:
 
         if last_snapshot_iter != self.max_iters - 1:
             self.snapshot(self.max_iters - 1, opt_state_ws=opt_state_ws,
-                          test_loss_logs=test_loss_logs)
+                          test_loss_logs=test_loss_logs, ws_step=ws_step)
         if self.use_prefetch:
             layer_s.close()
             layer_ws.close()

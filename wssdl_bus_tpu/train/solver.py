@@ -83,7 +83,12 @@ class Solver:
                 verbose=True)
 
         # mid-training resume — a capability the reference LACKS (its
-        # checkpoints are only ever consumed by test.py, SURVEY.md §5.4)
+        # checkpoints are only ever consumed by test.py, SURVEY.md §5.4).
+        # Restored: params, optimizer state(s), step, LR-schedule state,
+        # test-loss logs, jax key stream, eval RNG, WS-update counter.
+        # NOT restored (documented residual): the data layers' shuffled
+        # cursor positions — after resume each layer reshuffles from a fresh
+        # deterministic stream, so epoch boundaries shift by < 1 epoch.
         self.start_iter = 0
         self._resume_ckpt = None
         self._saved_test_loss_logs = []

@@ -106,3 +106,37 @@ def test_eval_and_inference_steps(engine_and_vars, rng):
     assert cls_prob.shape == (p, 3)
     assert bbox_pred.shape == (p, 12)
     np.testing.assert_allclose(np.asarray(cls_prob).sum(-1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.parametrize("dataset", ["UDIAT", "SNUBH_FG"])
+def test_train_step_other_dataset_modes(dataset, rng):
+    """Full train step under the UDIAT / SNUBH_FG anchor-labeling modes
+    (anchor_target_layer_tf_bus.py:159-199): classic Faster R-CNN negatives
+    from IoU < 0.3 instead of the SNUBH bg-box path — losses must be finite
+    and parameters update."""
+    # smaller anchors: the default minimum anchor (~91x181) does not fit
+    # the 96x128 canvas, which would mask every anchor to ignore and make
+    # rpn_cls trivially 0 (see .claude/skills/verify gotchas)
+    cfg = tiny_cfg().with_overrides(["ANCHOR_SCALES", "(2, 4, 8)"])
+    model = FasterRCNN(backbone="VGGnet")
+    eng = Engine(model, cfg, CANVAS, dataset=dataset)
+    variables, opt_state = eng.init(jax.random.PRNGKey(0))
+    batch = synth_batch(rng)
+    if dataset != "SNUBH":
+        # these datasets have no explicit background boxes
+        gt = np.array(batch["gt_boxes"], copy=True)
+        gt[:, 2] = 0
+        batch["gt_boxes"] = jnp.asarray(gt)
+        batch["num_gt_boxes"] = jnp.asarray(
+            np.where(np.asarray(batch["num_gt_boxes"]) > 0, 2, 0))
+    before = np.asarray(variables["head"]["params"]["cls_score"]["dense"]
+                        ["kernel"]).copy()
+    v2, opt2, ls = eng.train_step(variables, opt_state, batch,
+                                  jax.random.PRNGKey(1), jnp.float32(1e-3),
+                                  jnp.int32(0))
+    vals = {k: float(x) for k, x in ls._asdict().items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    # classic-mode negatives exist without bg boxes, so rpn_cls is a real CE
+    assert vals["rpn_cls"] > 0.1
+    after = np.asarray(v2["head"]["params"]["cls_score"]["dense"]["kernel"])
+    assert not np.array_equal(before, after)

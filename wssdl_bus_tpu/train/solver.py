@@ -65,6 +65,17 @@ class Solver:
         self.logger = MetricLogger(output_dir)
         self.schedule = build_schedule(lr_scheduling, cfg.TRAIN.LEARNING_RATE,
                                        max_iters)
+        # bbox-regression target means/stds over the supervised roidb, like
+        # SolverWrapper's ctor (train_bus.py:125-128).  With HAS_RPN these
+        # feed only the (identity-by-default) snapshot normalization dance,
+        # but the attached per-entry 'bbox_targets' keep roidb parity.
+        from wssdl_bus_tpu.data.targets import add_bbox_regression_targets
+        if roidb_train_s and "max_classes" in roidb_train_s[0]:
+            self.bbox_means, self.bbox_stds = add_bbox_regression_targets(
+                roidb_train_s, cfg)
+        else:  # unprepared roidb (tests with synthetic entries)
+            self.bbox_means = self.bbox_stds = None
+
         self.rng = np.random.RandomState(
             cfg.RNG_SEED if seed is None else seed)
         self.key = jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed)

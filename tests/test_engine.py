@@ -140,3 +140,31 @@ def test_train_step_other_dataset_modes(dataset, rng):
     assert vals["rpn_cls"] > 0.1
     after = np.asarray(v2["head"]["params"]["cls_score"]["dense"]["kernel"])
     assert not np.array_equal(before, after)
+
+
+def test_train_step_bit_reproducible(rng):
+    """Two independently initialized+run training sequences under the same
+    seed produce bitwise-identical losses and parameters (the determinism
+    contract README claims; guards against accidental nondeterminism from
+    unseeded randomness or unstable reductions)."""
+    cfg = tiny_cfg()
+
+    def run():
+        model = FasterRCNN(backbone="VGGnet")
+        eng = Engine(model, cfg, CANVAS)
+        variables, opt_state = eng.init(jax.random.PRNGKey(7))
+        batch = synth_batch(np.random.RandomState(11))
+        out = []
+        for i in range(3):
+            variables, opt_state, ls = eng.train_step(
+                variables, opt_state, batch, jax.random.PRNGKey(i),
+                jnp.float32(1e-3), jnp.int32(i))
+            out.append([float(x) for x in ls])
+        leaf = np.asarray(
+            variables["head"]["params"]["cls_score"]["dense"]["kernel"])
+        return np.array(out), leaf
+
+    losses1, leaf1 = run()
+    losses2, leaf2 = run()
+    np.testing.assert_array_equal(losses1, losses2)
+    np.testing.assert_array_equal(leaf1, leaf2)

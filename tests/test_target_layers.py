@@ -306,3 +306,40 @@ def test_proposal_target_normalized_targets(rng):
     for r, c in enumerate(cls):
         expect = (t_plain[r, c] - np.array(means)) / np.array(stds)
         np.testing.assert_allclose(t_norm[r, c], expect, rtol=1e-5)
+
+
+def test_masked_keep_topk_static_cap_equivalence(rng):
+    """The top_k fast path must select the IDENTICAL set as the argsort
+    ranking for the same key — including f32 tie collisions (both break
+    ties toward the lower index)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wssdl_bus_tpu.ops.anchor_target import _masked_keep_topk
+
+    n = 4000
+    for trial in range(5):
+        key = jax.random.PRNGKey(trial)
+        cand = jnp.asarray(rng.rand(n) < 0.4)
+        for limit in (0, 7, 128, 256):
+            ref = _masked_keep_topk(key, cand, jnp.int32(limit))
+            fast = _masked_keep_topk(key, cand, jnp.int32(limit),
+                                     static_cap=256)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+            assert int(np.asarray(fast).sum()) <= limit
+
+    # forced ties: quantized scores collide heavily
+    orig = jax.random.uniform
+
+    def tied_uniform(key, shape):
+        u = orig(key, shape)
+        return jnp.round(u * 16) / 16
+    try:
+        jax.random.uniform = tied_uniform
+        key = jax.random.PRNGKey(9)
+        cand = jnp.asarray(rng.rand(n) < 0.5)
+        ref = _masked_keep_topk(key, cand, jnp.int32(100))
+        fast = _masked_keep_topk(key, cand, jnp.int32(100), static_cap=256)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+    finally:
+        jax.random.uniform = orig

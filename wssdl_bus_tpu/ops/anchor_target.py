@@ -43,16 +43,27 @@ class AnchorTargets(NamedTuple):
     outside_weights: jnp.ndarray  # [B, K, 4]
 
 
-def _masked_keep_topk(key, cand_mask, limit):
+def _masked_keep_topk(key, cand_mask, limit, static_cap=None):
     """Keep at most ``limit`` of the candidates, chosen uniformly at random.
 
     ``limit`` may be a traced scalar.  Equivalent in distribution to the
     reference's ``npr.choice(cand, size=n-limit, replace=False)`` disabling
     step (anchor_target_layer_tf_bus.py:204-217).
+
+    ``static_cap``: a static upper bound on ``limit``.  When given, the
+    selection runs as ``lax.top_k`` over the random scores (O(n log cap))
+    instead of a full argsort of all n anchors (n ~ 34k per image in the
+    default config) — set-identical, since both argsort and XLA TopK break
+    ties toward the lower index.
     """
     n = cand_mask.shape[0]
     r = jnp.where(cand_mask, jax.random.uniform(key, (n,)), -jnp.inf)
-    # rank among candidates by descending random score
+    if static_cap is not None and static_cap < n:
+        vals, idx = jax.lax.top_k(r, static_cap)
+        pos = jnp.arange(static_cap)
+        sel = (pos < limit) & jnp.isfinite(vals)
+        keep = jnp.zeros(n, bool).at[idx].max(sel)
+        return cand_mask & keep
     order = jnp.argsort(-r)
     rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     return cand_mask & (rank < limit)
@@ -134,12 +145,14 @@ def anchor_target_single(key,
     key_fg, key_bg = jax.random.split(key)
     num_fg_cap = int(rpn_fg_fraction * rpn_batchsize)
     fg = labels == 1
-    fg_kept = _masked_keep_topk(key_fg, fg, num_fg_cap)
+    fg_kept = _masked_keep_topk(key_fg, fg, num_fg_cap,
+                                static_cap=num_fg_cap)
     labels = jnp.where(fg & ~fg_kept, -1, labels)
     # … and negatives to RPN_BATCHSIZE - num_fg (:209-217).
     num_bg_cap = rpn_batchsize - jnp.sum(labels == 1)
     bg = labels == 0
-    bg_kept = _masked_keep_topk(key_bg, bg, num_bg_cap)
+    bg_kept = _masked_keep_topk(key_bg, bg, num_bg_cap,
+                                static_cap=rpn_batchsize)
     labels = jnp.where(bg & ~bg_kept, -1, labels)
 
     # Regression targets toward each anchor's best fg gt, for every inside

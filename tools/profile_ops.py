@@ -3,7 +3,7 @@ backend (chained-dispatch protocol; run from the repo root).
 
 Reference measurement (one v5e chip, canvas 608x800, full TRAIN budgets):
 proposal_layer (3 img, 12000 pre-NMS -> 2000) 2.2 ms, anchor_target (3 img)
-1.3 ms (dominated by the two 34k-element subsampling argsorts per image),
+1.15 ms (was 1.31 with full argsort subsampling; now lax.top_k),
 proposal_target (1 img) 0.9 ms, roi_pool (128 + 2x2000 rois) 5.8 ms
 (VPU-bound: ~5.2G window elements through add+max per step — see
 ops/roi_pool_pallas.py), heads over 4032 rois 0.7 ms.  Together ~10.9 ms of

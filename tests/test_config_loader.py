@@ -68,6 +68,34 @@ def test_augment_vgg_vs_resnet_scaling(rng):
     np.testing.assert_allclose((v / r)[mask], cfg.PIXEL_STD, rtol=1e-3)
 
 
+def test_loader_slots_layout(monkeypatch):
+    """slots>1 stacks per-slot minibatches contiguously along axis 0 —
+    the global-batch layout parallel.engine shards over the data axis."""
+    from wssdl_bus_tpu.data import loader as ld
+
+    calls = [0]
+
+    def fake(self):
+        calls[0] += 1
+        return {"data": np.full((2, 4), calls[0], np.float32),
+                "num_gt_boxes": np.array([calls[0], calls[0]])}
+
+    monkeypatch.setattr(ld.RoIDataLayer, "_forward_one", fake)
+    layer = ld.RoIDataLayer.__new__(ld.RoIDataLayer)
+    layer.slots = 3
+    out = layer.forward()
+    assert out["data"].shape == (6, 4)
+    assert out["num_gt_boxes"].shape == (6,)
+    # slot i occupies rows [i*2, (i+1)*2) and was drawn in slot order
+    for i in range(3):
+        assert (out["data"][2 * i:2 * i + 2] == i + 1).all()
+    # slots=1 must not copy (fast path returns the single dict unchanged)
+    calls[0] = 0
+    layer.slots = 1
+    out1 = layer.forward()
+    assert (out1["data"] == 1).all()
+
+
 def test_prefetcher_order_and_error_propagation():
     from wssdl_bus_tpu.data.loader import Prefetcher
 

@@ -112,6 +112,149 @@ def test_dp_tp_train_step_runs(setup):
     np.testing.assert_allclose(np.asarray(cls_prob).sum(-1), 1.0, rtol=1e-4)
 
 
+def test_mesh11_matches_single_device_bitwise(setup):
+    """A (1,1) mesh must reproduce the single-device Engine trajectory
+    bitwise: no key folding, pmean over one slot is the identity (the
+    invariance contract that lets mesh flags default to 1,1)."""
+    cfg, model = setup
+    mesh = make_mesh(n_data=1, n_model=1)
+    peng = ParallelEngine(model, cfg, CANVAS, mesh)
+    variables, opt_state = peng.init(jax.random.PRNGKey(0))
+    seng = Engine(model, cfg, CANVAS)
+    seng.tx = peng.tx
+
+    rng = np.random.RandomState(5)
+    batch = synth_batch(rng)
+    key, lr = jax.random.PRNGKey(9), jnp.float32(1e-3)
+
+    pv, po, pls = variables, opt_state, None
+    sv, so, sls = variables, opt_state, None
+    for it in range(2):
+        pv, po, pls = peng.train_step_parallel(pv, po, batch, key, lr,
+                                               jnp.int32(it))
+        sv, so, sls = seng.train_step(sv, so, batch, key, lr, jnp.int32(it))
+    for l_p, l_s in zip(pls, sls):
+        assert np.asarray(l_p) == np.asarray(l_s)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(pv),
+            jax.tree_util.tree_leaves_with_path(sv)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(path))
+
+
+def test_mil_step_parallel_dp(setup):
+    """Alternating-regime weak step under dp=2: loss equals the mean of the
+    per-slot single-device MIL losses with the same folded keys; params move
+    and BN running stats stay frozen (train_bus.py:391-394)."""
+    cfg, model = setup
+    mesh = make_mesh(n_data=2, n_model=1)
+    peng = ParallelEngine(model, cfg, CANVAS, mesh, num_supervised=0,
+                          num_ws=2, selector_pair=("mass_max", "mal_max"))
+    variables, opt_state = peng.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(11)
+    gb = global_batch(rng, 2, n_s=0, n_ws=2)
+    key, lr, step = jax.random.PRNGKey(21), jnp.float32(1e-3), jnp.int32(3)
+
+    v2, opt2, mil = peng.train_step_mil_parallel(
+        variables, opt_state, gb, key, lr, step)
+    assert np.isfinite(np.asarray(mil))
+    assert np.asarray(mil) > 0
+    # random-init MIL gradients are ~1e-10 (see test_engine.test_mil_train_
+    # step), below f32 update resolution — assert the optimizer consumed the
+    # step instead of asserting param movement
+    inner = jax.tree_util.tree_leaves(opt2)
+    assert any(np.asarray(l).dtype == np.int32 and np.asarray(l).item() == 1
+               for l in inner if np.ndim(l) == 0)
+    # non-param collections pass through untouched (BN stats are only
+    # updated by the supervised step; VGG has none, so compare everything
+    # except 'params' structurally)
+    assert set(v2["trunk"].keys()) == set(variables["trunk"].keys())
+
+    seng = Engine(model, cfg, CANVAS, num_supervised=0, num_ws=2,
+                  selector_pair=("mass_max", "mal_max"))
+    seng.tx = peng.tx
+    mils = []
+    for i in range(2):
+        sl = {k: v[i * 2:(i + 1) * 2] for k, v in gb.items()}
+        _, _, mil_i = seng.train_step_mil(
+            variables, opt_state, sl, jax.random.fold_in(key, i), lr, step)
+        mils.append(np.asarray(mil_i))
+    np.testing.assert_allclose(np.asarray(mil), np.mean(mils), rtol=1e-5)
+
+
+def test_mesh_shape_8x1_and_2x4(setup):
+    """Other mesh shapes: pure-DP over all 8 virtual devices, and a
+    model-major (2,4) split."""
+    cfg, model = setup
+    for n_data, n_model in ((8, 1), (2, 4)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        eng = ParallelEngine(model, cfg, CANVAS, mesh)
+        variables, opt_state = eng.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(n_data)
+        gb = eng.shard_batch(global_batch(rng, n_data))
+        v2, _, ls = eng.train_step_parallel(
+            variables, opt_state, gb, jax.random.PRNGKey(1),
+            jnp.float32(1e-3), jnp.int32(0))
+        for l in ls:
+            assert np.isfinite(np.asarray(l)), (n_data, n_model, ls)
+
+
+def test_resnet_dp_and_tp_guard(setup):
+    """ResNet scales via the data axis only: the TP head is VGG-specific
+    (parallel/engine.py ctor guard), and a dp=2 ResNet-18 step trains."""
+    cfg, _ = setup
+    model = FasterRCNN(backbone="Resnet", depth=18, norm="BN")
+    mesh = make_mesh(n_data=2, n_model=2)
+    eng = ParallelEngine(model, cfg, CANVAS, mesh)
+    assert eng.tp is False  # model axis present but backbone is ResNet
+
+    mesh_dp = make_mesh(n_data=2, n_model=1)
+    eng = ParallelEngine(model, cfg, CANVAS, mesh_dp)
+    variables, opt_state = eng.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(13)
+    gb = eng.shard_batch(global_batch(rng, 2))
+    v2, _, ls = eng.train_step_parallel(
+        variables, opt_state, gb, jax.random.PRNGKey(2),
+        jnp.float32(1e-3), jnp.int32(0))
+    for l in ls:
+        assert np.isfinite(np.asarray(l)), ls
+    assert not np.array_equal(
+        np.asarray(variables["head"]["params"]["cls_score"]["dense"]["kernel"]),
+        np.asarray(v2["head"]["params"]["cls_score"]["dense"]["kernel"]))
+
+
+def test_inference_parallel_matches_single_device(setup):
+    """inference_step_parallel == per-image single-device inference_step
+    (the claim in parallel/engine.py that each slot reproduces the
+    per-image semantics)."""
+    cfg, model = setup
+    mesh = make_mesh(n_data=4, n_model=1)
+    peng = ParallelEngine(model, cfg, CANVAS, mesh)
+    variables, _ = peng.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(17)
+    gb = global_batch(rng, 4, n_s=1, n_ws=0)  # 4 images, one per slot
+
+    rois, valid, cls_score, cls_prob, bbox = peng.inference_step(
+        variables, gb["data"], gb["im_info"])
+
+    seng = Engine(model, cfg, CANVAS)
+    p = cfg.TEST.RPN_POST_NMS_TOP_N
+    for i in range(4):
+        r_i, v_i, cs_i, cp_i, bb_i = seng.inference_step(
+            variables, gb["data"][i:i + 1], gb["im_info"][i:i + 1])
+        sl = slice(i * p, (i + 1) * p)
+        # col 0 (batch index) is slot-local in the parallel output; compare
+        # the geometry columns only
+        np.testing.assert_allclose(np.asarray(rois)[sl, 1:],
+                                   np.asarray(r_i)[:, 1:], atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(valid)[sl], np.asarray(v_i))
+        np.testing.assert_allclose(np.asarray(cls_prob)[sl],
+                                   np.asarray(cp_i), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bbox)[sl],
+                                   np.asarray(bb_i), atol=1e-4)
+
+
 def test_tp_head_backward_matches_flax(setup):
     """Gradients through the TP head (incl. the psum-backward f-operator)
     equal the single-device flax head's for both the params and the shared

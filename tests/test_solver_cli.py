@@ -82,6 +82,47 @@ def test_train_alter_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "test", "eval.txt"))
 
 
+def test_mesh_train_and_serve_cli(tmp_path):
+    """Multi-device wiring e2e on the virtual CPU mesh: combined training
+    with --mesh_data 2 (global batch = 2 contiguous joint slots, grads
+    pmean'd over the data axis), snapshot fetched to host, then the test CLI
+    serving data-parallel with --mesh_data 2."""
+    out = str(tmp_path / "mesh_run")
+    from wssdl_bus_tpu.main.train import main as train_main
+    run_cli(train_main, [
+        "train.py", "--max_iters", "2", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch", "--mesh_data", "2",
+        "--set_cfgs", *SMALL_CFGS])
+    snaps = [d for d in os.listdir(out) if "_iter_" in d]
+    assert snaps, os.listdir(out)
+    assert os.path.exists(os.path.join(out, "test", "eval.txt"))
+
+    ckpt = os.path.join(out, sorted(snaps)[-1])
+    from wssdl_bus_tpu.main.test import main as test_main
+    out2 = str(tmp_path / "mesh_eval")
+    run_cli(test_main, [
+        "test.py", "--model", ckpt, "--output_dir", out2,
+        "--data_dir", DATA, "--mesh_data", "2", "--batch_size", "2",
+        "--set_cfgs", *SMALL_CFGS])
+    assert os.path.exists(os.path.join(out2, "detections.pkl"))
+    assert os.path.exists(os.path.join(out2, "eval.txt"))
+
+
+def test_mesh_alter_cli(tmp_path):
+    """Alternating regime under a data-parallel mesh: both the supervised
+    parallel step and train_step_mil_parallel run, two optimizer states."""
+    out = str(tmp_path / "mesh_alter")
+    from wssdl_bus_tpu.main.train_alter import main as alter_main
+    run_cli(alter_main, [
+        "train_alter.py", "--max_iters", "2", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch", "--mesh_data", "2",
+        "--s_start_iter", "0", "--s_end_iter", "2",
+        "--ws_start_iter", "0", "--ws_end_iter", "2",
+        "--set_cfgs", *SMALL_CFGS])
+    assert any("_iter_" in d for d in os.listdir(out))
+    assert os.path.exists(os.path.join(out, "test", "eval.txt"))
+
+
 def test_batched_serving_cli(tmp_path):
     """The batch_size>1 serving path: same artifacts + per-image qualitative
     overlays with GT; five images through a batch-2 compiled step (covers

@@ -87,6 +87,8 @@ class TrainConfig:
     TEST_ITERS: int = 10
     SNAPSHOT_PREFIX: str = "VGGnet_fast_rcnn"
     SNAPSHOT_INFIX: str = ""
+    # honored: the Solver's default prefetch behavior when the CLI passes
+    # neither --prefetch nor --no_prefetch (reference config.py:172)
     USE_PREFETCH: bool = False
 
     PROPOSAL_METHOD: str = "gt"

@@ -41,12 +41,26 @@ class _Cursor:
         return idx
 
 
+def _concat_slots(blobs: list) -> dict:
+    """Stack per-slot blob dicts contiguously along axis 0 — the global
+    batch layout parallel.engine expects (slot i's images occupy rows
+    [i*n_local, (i+1)*n_local))."""
+    if len(blobs) == 1:
+        return blobs[0]
+    return {k: np.concatenate([b[k] for b in blobs], axis=0)
+            for k in blobs[0]}
+
+
 class RoIDataLayer:
-    """Single-regime loader (supervised or weak)."""
+    """Single-regime loader (supervised or weak).
+
+    ``slots`` > 1 assembles a GLOBAL batch of ``slots`` contiguous per-slot
+    minibatches for data-parallel training (each mesh data-slot gets the
+    per-slot batch shape the single-device step handles)."""
 
     def __init__(self, roidb, net_name: str, cfg: Config, canvas_hw,
                  is_training: bool, is_ws: bool = False,
-                 rng: np.random.RandomState = None):
+                 rng: np.random.RandomState = None, slots: int = 1):
         self.roidb = roidb
         self.net_name = net_name
         self.cfg = cfg
@@ -56,22 +70,35 @@ class RoIDataLayer:
         self.rng = rng or np.random.RandomState(cfg.RNG_SEED)
         per = cfg.TRAIN.WS_IMS_PER_BATCH if is_ws else cfg.TRAIN.IMS_PER_BATCH
         self.ims_per_batch = per if is_training else 1
+        self.slots = slots
         self.cursor = _Cursor(len(roidb), is_training, self.rng)
 
-    def forward(self):
+    def _forward_one(self):
         idx = self.cursor.next(self.ims_per_batch)
         batch = [self.roidb[i] for i in idx]
         return get_minibatch(batch, self.net_name, self.cfg, self.canvas_hw,
                              self.is_training, self.is_ws, self.rng)
 
+    def forward(self):
+        return _concat_slots([self._forward_one()
+                              for _ in range(self.slots)])
+
 
 class RoIDataLayerJoint:
     """Joint loader: IMS_PER_BATCH supervised + WS_IMS_PER_BATCH weak images
-    per step, two independent shuffled cursors (layer_bus_joint.py:29-91)."""
+    per step, two independent shuffled cursors (layer_bus_joint.py:29-91).
+
+    ``slots`` > 1 draws that many joint minibatches per ``forward()`` and
+    stacks them contiguously along axis 0:
+
+        [slot0: n_s supervised, n_ws weak | slot1: n_s, n_ws | ...]
+
+    which is exactly the global-batch layout ``parallel.engine`` shards over
+    the mesh data axis."""
 
     def __init__(self, roidb_s, roidb_ws, net_name: str, cfg: Config,
                  canvas_hw, is_training: bool = True,
-                 rng: np.random.RandomState = None):
+                 rng: np.random.RandomState = None, slots: int = 1):
         self.roidb_s = roidb_s
         self.roidb_ws = roidb_ws
         self.net_name = net_name
@@ -79,16 +106,21 @@ class RoIDataLayerJoint:
         self.canvas_hw = canvas_hw
         self.rng = rng or np.random.RandomState(cfg.RNG_SEED)
         self.is_training = is_training
+        self.slots = slots
         self.cursor_s = _Cursor(len(roidb_s), is_training, self.rng)
         self.cursor_ws = _Cursor(len(roidb_ws), is_training, self.rng)
 
-    def forward(self):
+    def _forward_one(self):
         ids = self.cursor_s.next(self.cfg.TRAIN.IMS_PER_BATCH)
         idw = self.cursor_ws.next(self.cfg.TRAIN.WS_IMS_PER_BATCH)
         return get_minibatch_joint([self.roidb_s[i] for i in ids],
                                    [self.roidb_ws[i] for i in idw],
                                    self.net_name, self.cfg, self.canvas_hw,
                                    self.rng, is_training=self.is_training)
+
+    def forward(self):
+        return _concat_slots([self._forward_one()
+                              for _ in range(self.slots)])
 
 
 class Prefetcher:

@@ -34,6 +34,13 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="do not fix the random seed")
     parser.add_argument("--output_dir", default="./trained_model/run",
                         type=str)
+    parser.add_argument("--mesh_data", default=1, type=int,
+                        help="data-parallel mesh extent (devices on the "
+                             "batch axis); mesh_data*mesh_model > 1 runs "
+                             "SPMD via parallel.ParallelEngine")
+    parser.add_argument("--mesh_model", default=1, type=int,
+                        help="tensor-parallel mesh extent for the RCNN head "
+                             "(VGG only)")
 
 
 def add_train_args(parser: argparse.ArgumentParser):
@@ -52,6 +59,11 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--imdb_train_s", default="bus_test", type=str)
     parser.add_argument("--imdb_train_ws", default="bus_test", type=str)
     parser.add_argument("--imdb_test", default="bus_test", type=str)
+    # tri-state prefetch: --prefetch forces on, --no_prefetch forces off,
+    # neither defers to cfg.TRAIN.USE_PREFETCH (reference config.py:172)
+    parser.add_argument("--prefetch", action="store_true",
+                        help="overlap host-side augmentation with the device "
+                             "step on a background thread")
     parser.add_argument("--no_prefetch", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest snapshot in output_dir "
@@ -59,6 +71,15 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--qual_res", action="store_true",
                         help="save qualitative overlays during in-loop eval "
                              "(the reference's qual_res, train.py:44-45)")
+
+
+def prefetch_choice(args):
+    """-> True / False / None (None = honor cfg.TRAIN.USE_PREFETCH)."""
+    if args.no_prefetch:
+        return False
+    if args.prefetch:
+        return True
+    return None
 
 
 def build_config(args) -> Config:

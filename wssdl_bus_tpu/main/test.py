@@ -51,14 +51,27 @@ def main():
                            num_classes=3,
                            gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                       cfg.TRAIN.GN_MIN_CHS_PER_G))
-    eng = Engine(model, cfg, canvas, dataset=args.dataset)
+    batch_size = args.batch_size
+    if args.mesh_data * args.mesh_model > 1:
+        from wssdl_bus_tpu.parallel import ParallelEngine, make_mesh
+        mesh = make_mesh(n_data=args.mesh_data, n_model=args.mesh_model)
+        eng = ParallelEngine(model, cfg, canvas, mesh, dataset=args.dataset)
+        if batch_size % args.mesh_data:
+            batch_size = args.mesh_data * (
+                (batch_size + args.mesh_data - 1) // args.mesh_data)
+            print(f"batch_size rounded up to {batch_size} "
+                  f"(a multiple of mesh_data={args.mesh_data})")
+    else:
+        eng = Engine(model, cfg, canvas, dataset=args.dataset)
     variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
     variables, step = load_checkpoint(args.model, variables)
     print(f"restored snapshot at iter {step} from {args.model}")
+    if args.mesh_data * args.mesh_model > 1:
+        variables = eng.replicate(variables)
 
     _, result = test_net(eng, variables, imdb, args.output_dir, args.network,
                          canvas, vis=args.qual_res,
-                         batch_size=args.batch_size)
+                         batch_size=batch_size)
     print("evaluation result:", np.asarray(result))
 
 

@@ -17,7 +17,7 @@ import numpy as np
 
 from wssdl_bus_tpu.main.common import (add_common_args, add_train_args,
                                        build_config, load_train_data,
-                                       seed_all)
+                                       prefetch_choice, seed_all)
 
 
 def main():
@@ -46,9 +46,10 @@ def main():
               lr_scheduling=args.lr_scheduling, vis=args.qual_res,
               cfg=cfg, net_depth=args.net_depth, norm_type=args.norm_type,
               dataset=args.dataset, canvas_hw=canvas,
-              use_prefetch=not args.no_prefetch, resume=args.resume,
+              use_prefetch=prefetch_choice(args), resume=args.resume,
               seed=(int(np.random.randint(2 ** 31))
-                    if args.randomize else None))
+                    if args.randomize else None),
+              mesh_data=args.mesh_data, mesh_model=args.mesh_model)
 
 
 if __name__ == "__main__":

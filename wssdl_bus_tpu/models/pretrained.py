@@ -22,6 +22,17 @@ and GroupNormRef deliberately keep the TF affine names); ``moving_mean`` /
 ``moving_variance`` (and ``mean``/``variance``) land in ``batch_stats`` as
 ``mean``/``var`` so pretrained running statistics drive eval-mode BN.
 
+Checkpoint keys may split the full TF variable path arbitrarily between the
+scope and the var name (the reference's loader resolves
+``tf.get_variable(subkey)`` under ``variable_scope(key)``, network.py:52-66,
+so e.g. BN vars can arrive as scope ``group0/block0/conv1`` + subkey
+``batch_normalization/gamma`` OR scope ``…/conv1/batch_normalization`` +
+subkey ``gamma``): we re-join and re-split at the last ``/``, and drop the
+``batch_normalization`` path segment that ``tf.layers.batch_normalization``
+inserts (network.py:122-123).  The reference's hand-rolled group_norm stores
+gamma/beta as ``[1,1,1,C]`` (network.py:540-541) where ours are ``[C]``;
+values whose squeezed shape matches are reshaped on load.
+
 TF conv kernels are [kh, kw, cin, cout] — identical to flax's layout, no
 transpose needed; dense kernels are [cin, cout] in both.  A dense kernel fed
 by flattened conv features would need its rows permuted from the reference's
@@ -76,16 +87,25 @@ def _semantic(path):
     return "/".join(parts)
 
 
-def _normalize_scope(scope: str) -> str:
-    if scope.endswith("/3x3"):  # reference 'rpn_conv/3x3'
-        scope = scope[:-len("/3x3")]
-    return scope
+def _split_entry(scope: str, var_name: str):
+    """(scope, var) -> (normalized scope, collection, flax leaf).  Re-joins
+    the full TF variable path and re-splits at the last '/' so any
+    scope/subkey split the reference loader accepts resolves identically."""
+    segs = (str(scope) + "/" + str(var_name)).split("/")
+    coll, leaf = _VAR_MAP.get(segs[-1], ("params", segs[-1]))
+    scope_segs = [s for s in segs[:-1]
+                  if s not in ("batch_normalization", "3x3")]
+    return "/".join(scope_segs), coll, leaf
 
 
 def load_pretrained_npy(path: str, variables: dict, backbone: str,
-                        verbose: bool = False) -> dict:
+                        verbose: bool = False, min_loaded: int = 0) -> dict:
     """Return a copy of ``variables`` with matching pretrained weights
-    assigned (scope-by-scope, ignore-missing semantics)."""
+    assigned (scope-by-scope, ignore-missing semantics).
+
+    ``min_loaded``: raise if fewer than this many arrays matched — guards
+    the CLI path against a checkpoint whose scope names silently match
+    nothing (ignore-missing would otherwise "succeed" loading 0)."""
     data = np.load(path, allow_pickle=True, encoding="latin1")
     if hasattr(data, "item"):
         data = data.item()
@@ -101,10 +121,9 @@ def load_pretrained_npy(path: str, variables: dict, backbone: str,
 
     n_loaded = 0
     for scope, vars_dict in data.items():
-        scope_n = _normalize_scope(str(scope))
         for var_name, value in dict(vars_dict).items():
             value = np.asarray(value)
-            coll, leaf = _VAR_MAP.get(var_name, ("params", var_name))
+            scope_n, coll, leaf = _split_entry(scope, var_name)
             # exact semantic-suffix match: semantic path equals the scope or
             # ends with '/<scope>'
             cands = []
@@ -124,11 +143,17 @@ def load_pretrained_npy(path: str, variables: dict, backbone: str,
                 continue
             p = cands[0]
             old = flat[p]
-            if tuple(np.shape(old)) != tuple(value.shape):
-                if verbose:
-                    print(f"  skip {scope}/{var_name}: shape {value.shape} "
-                          f"!= {np.shape(old)}")
-                continue
+            want = tuple(np.shape(old))
+            if want != tuple(value.shape):
+                # reference group_norm affine is [1,1,1,C] vs our [C]
+                # (network.py:540-541): accept squeeze-equivalent shapes
+                if tuple(np.squeeze(value).shape) == want:
+                    value = value.reshape(want)
+                else:
+                    if verbose:
+                        print(f"  skip {scope}/{var_name}: shape "
+                              f"{value.shape} != {want}")
+                    continue
             node = variables
             for seg in p[:-1]:
                 node = node[seg]
@@ -136,6 +161,11 @@ def load_pretrained_npy(path: str, variables: dict, backbone: str,
             n_loaded += 1
     if verbose:
         print(f"loaded {n_loaded} pretrained arrays from {path}")
+    if n_loaded < min_loaded:
+        raise ValueError(
+            f"pretrained import matched only {n_loaded} arrays from {path} "
+            f"(expected >= {min_loaded}); checkpoint scope names likely do "
+            f"not correspond to the {backbone} graph")
     return variables
 
 

@@ -79,6 +79,14 @@ class ParallelEngine(Engine):
                 variables["head"]["params"], "model")
         return specs
 
+    def _fold_slot_key(self, key):
+        """Per-slot RNG stream.  With a single data slot the key passes
+        through unchanged so a (1, 1) mesh reproduces the single-device
+        Engine trajectory bitwise (tested in tests/test_parallel.py)."""
+        if self.mesh.shape.get("data", 1) == 1:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index("data"))
+
     def _pmean_unsharded(self, grads, specs, axis):
         """pmean over ``axis`` every leaf whose spec does not shard on it.
         Model-sharded leaves hold disjoint gradient shards (already exact);
@@ -102,8 +110,7 @@ class ParallelEngine(Engine):
                    "head": var_specs["head"]["params"]}
 
         def per_slot(variables, batch, key, step):
-            di = jax.lax.axis_index("data")
-            key = jax.random.fold_in(key, di)
+            key = self._fold_slot_key(key)
 
             def loss_fn(params):
                 (feat, rpn_score, rpn_bbox, at, props, samples, rois_all,
@@ -146,6 +153,50 @@ class ParallelEngine(Engine):
 
     # ------------------------------------------------------------------ #
     @partial(jax.jit, static_argnums=(0,))
+    def train_step_mil_parallel(self, variables, opt_state, batch, key, lr,
+                                step):
+        """Weak (MIL-only) step of the ALTERNATING regime, SPMD: each data
+        slot holds its own weak minibatch, grads pmean over data, head TP
+        over model.  Like Engine.train_step_mil, BN running stats are NOT
+        updated (train_bus.py:357-361 vs :391-394)."""
+        var_specs = self.variable_specs(variables)
+        p_specs = {"trunk": var_specs["trunk"]["params"],
+                   "head": var_specs["head"]["params"]}
+
+        def per_slot(variables, batch, key, step):
+            key = self._fold_slot_key(key)
+            params = {"trunk": variables["trunk"]["params"],
+                      "head": variables["head"]["params"]}
+
+            def loss_fn(params):
+                return self._mil_loss(params, variables, batch, key, step)
+
+            mil, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "data")
+            if self.tp:
+                grads = self._pmean_unsharded(grads, p_specs, "model")
+            return grads, jax.lax.pmean(mil, "data")
+
+        grads, mil = _shard_map(
+            per_slot, self.mesh,
+            in_specs=(var_specs, P("data"), P(), P()),
+            out_specs=(p_specs, P()),
+        )(variables, batch, key, step)
+
+        params = {"trunk": variables["trunk"]["params"],
+                  "head": variables["head"]["params"]}
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = {}
+        for part in ("trunk", "head"):
+            v = dict(variables[part])
+            v["params"] = params[part]
+            new_vars[part] = v
+        return new_vars, opt_state, mil
+
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnums=(0,))
     def inference_step_parallel(self, variables, data, im_info):
         """Batch-parallel inference: each data slot detects its own images
         (per-image semantics identical to Engine.inference_step)."""
@@ -159,6 +210,37 @@ class ParallelEngine(Engine):
             in_specs=(var_specs, P("data"), P("data")),
             out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
         )(variables, data, im_info)
+
+    # ------------------------------------------------------------------ #
+    def inference_step(self, variables, data, im_info):
+        """Serving dispatch: shard the image batch over the data axis when
+        it divides evenly (the padded serving batches from test_net always
+        do); otherwise fall back to the replicated single-program step (not
+        available with a TP head — its collectives need the mesh axes)."""
+        n_data = self.mesh.shape.get("data", 1)
+        if data.shape[0] % n_data == 0:
+            return self.inference_step_parallel(variables, data, im_info)
+        if self.tp:
+            raise ValueError(
+                f"batch {data.shape[0]} not divisible by mesh data axis "
+                f"{n_data}; required with a tensor-parallel head")
+        return super().inference_step(variables, data, im_info)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, variables, batch, key, step=0):
+        """In-training eval on a mesh: the batch is replicated (periodic
+        eval is per-image, train_bus.py:792-892) and the pipeline runs under
+        shard_map so the TP head's collectives have their axis in scope."""
+        var_specs = self.variable_specs(variables)
+
+        def per_slot(variables, batch, key, step):
+            return self._eval_impl(variables, batch, key, step)
+
+        return _shard_map(
+            per_slot, self.mesh,
+            in_specs=(var_specs, P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+        )(variables, batch, key, step)
 
     # ------------------------------------------------------------------ #
     def shard_batch(self, batch):

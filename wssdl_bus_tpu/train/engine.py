@@ -287,44 +287,48 @@ class Engine:
         return new_vars, opt_state, ls
 
     # ------------------------------------------------------------------ #
+    def _mil_loss(self, params, variables, batch, key, step):
+        """MIL-only forward + bag loss for the alternating regime's weak
+        step (shared by ``train_step_mil`` and the parallel variant)."""
+        cfg = self.cfg
+        var = self._split_vars(variables, params)
+        feat, rpn_score, rpn_bbox, _ = self.model.apply_trunk(
+            var, batch["data"], train=True)
+        rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
+        props = proposal_layer(
+            jax.lax.stop_gradient(rpn_prob),
+            jax.lax.stop_gradient(rpn_bbox),
+            batch["im_info"], self.anchors, num_anchors=self.num_anchors,
+            pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
+            min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
+        pooled = roi_pool_grouped(feat, props.boxes, 7, 7,
+                                  1.0 / cfg.FEAT_STRIDE)
+        pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
+        cls_score, _, _ = self._apply_head(var, pooled, train=True,
+                                           dropout_rng=key)
+        b = batch["data"].shape[0]
+        p = cfg.TRAIN.RPN_POST_NMS_TOP_N
+        ws_scores = cls_score.reshape(b, p, -1)
+        bag_labels = batch["im_info"][:, 3].astype(jnp.int32)
+        bag_logits = get_bag_logits(ws_scores, props.valid, bag_labels,
+                                    self.selector_pair)
+        if cfg.TRAIN.WS_LOSS_USE_ADAPTIVE_SCALE_FACTOR:
+            scale = L.mil_adaptive_scale(step)
+        else:
+            scale = cfg.TRAIN.WS_LOSS_SCALE_FACTOR
+        return L.mil_class_loss(bag_logits, bag_labels,
+                                cfg.TRAIN.WS_MAL_PCT, scale)
+
     @partial(jax.jit, static_argnums=(0,))
     def train_step_mil(self, variables, opt_state, batch, key, lr, step):
         """One weakly-supervised SGD update for the ALTERNATING regime:
         only the MIL bag loss is optimized (train_bus.py:298-301,368-394).
         BN running stats are NOT updated (the reference's update ops only run
         with the supervised step, train_bus.py:357-361 vs :391-394)."""
-        cfg = self.cfg
-
         def loss_fn(params):
-            var = self._split_vars(variables, params)
-            feat, rpn_score, rpn_bbox, _ = self.model.apply_trunk(
-                var, batch["data"], train=True)
-            rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
-            props = proposal_layer(
-                jax.lax.stop_gradient(rpn_prob),
-                jax.lax.stop_gradient(rpn_bbox),
-                batch["im_info"], self.anchors, num_anchors=self.num_anchors,
-                pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
-                post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
-                nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
-                min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
-            pooled = roi_pool_grouped(feat, props.boxes, 7, 7,
-                                      1.0 / cfg.FEAT_STRIDE)
-            pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
-            cls_score, _, _ = self._apply_head(var, pooled, train=True,
-                                               dropout_rng=key)
-            b = batch["data"].shape[0]
-            p = cfg.TRAIN.RPN_POST_NMS_TOP_N
-            ws_scores = cls_score.reshape(b, p, -1)
-            bag_labels = batch["im_info"][:, 3].astype(jnp.int32)
-            bag_logits = get_bag_logits(ws_scores, props.valid, bag_labels,
-                                        self.selector_pair)
-            if cfg.TRAIN.WS_LOSS_USE_ADAPTIVE_SCALE_FACTOR:
-                scale = L.mil_adaptive_scale(step)
-            else:
-                scale = cfg.TRAIN.WS_LOSS_SCALE_FACTOR
-            return L.mil_class_loss(bag_logits, bag_labels,
-                                    cfg.TRAIN.WS_MAL_PCT, scale)
+            return self._mil_loss(params, variables, batch, key, step)
 
         params = {"trunk": variables["trunk"]["params"],
                   "head": variables["head"]["params"]}
@@ -340,14 +344,9 @@ class Engine:
         return new_vars, opt_state, mil
 
     # ------------------------------------------------------------------ #
-    @partial(jax.jit, static_argnums=(0,))
-    def eval_step(self, variables, batch, key, step=0):
-        """In-training evaluation forward (reference call stack 3.4): the
-        training pipeline with is_training=False — TEST proposal budgets,
-        no GT appended to candidates, running BN stats, no dropout — losses
-        plus detection outputs from the SAMPLED rois (train_bus.py:792-892).
-        ``step`` feeds the adaptive MIL scale like the reference's fetched
-        ``mil_cross_entropy`` at the current global step (:445-451)."""
+    def _eval_impl(self, variables, batch, key, step):
+        """Body of ``eval_step`` (also run under shard_map by
+        ParallelEngine when the head is tensor-parallel)."""
         cfg = self.cfg
         n_s = batch["data"].shape[0]
         params = {"trunk": variables["trunk"]["params"],
@@ -410,6 +409,16 @@ class Engine:
                         rpn_cls, rpn_box, rcnn_cls, rcnn_box, mil)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return ls, rois_all, cls_prob, bbox_pred, samples.labels.reshape(-1)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, variables, batch, key, step=0):
+        """In-training evaluation forward (reference call stack 3.4): the
+        training pipeline with is_training=False — TEST proposal budgets,
+        no GT appended to candidates, running BN stats, no dropout — losses
+        plus detection outputs from the SAMPLED rois (train_bus.py:792-892).
+        ``step`` feeds the adaptive MIL scale like the reference's fetched
+        ``mil_cross_entropy`` at the current global step (:445-451)."""
+        return self._eval_impl(variables, batch, key, step)
 
     # ------------------------------------------------------------------ #
     def _inference_impl(self, variables, data, im_info):

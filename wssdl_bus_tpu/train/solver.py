@@ -48,9 +48,17 @@ class Solver:
                  roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
                  output_dir: str, lr_scheduling: str = "const",
                  max_iters: int = 60000, pretrained: Optional[str] = None,
-                 use_prefetch: bool = True, seed: Optional[int] = None,
+                 use_prefetch: Optional[bool] = None,
+                 seed: Optional[int] = None,
                  vis: bool = False, resume: bool = False):
         self.eng = engine
+        # multi-device: a ParallelEngine carries a ("data","model") mesh;
+        # the loaders then assemble one contiguous per-slot global batch per
+        # step and the parallel step functions are used (reference has no
+        # distributed layer at all, SURVEY.md §2.8)
+        self.mesh = getattr(engine, "mesh", None)
+        self.n_slots = (self.mesh.shape.get("data", 1)
+                        if self.mesh is not None else 1)
         self.cfg = cfg
         self.net_name = net_name
         self.roidb_train_s = roidb_train_s
@@ -59,7 +67,11 @@ class Solver:
         self.roidb_test = roidb_test
         self.output_dir = output_dir
         self.max_iters = max_iters
-        self.use_prefetch = use_prefetch
+        # None defers to cfg.TRAIN.USE_PREFETCH (reference config.py:172;
+        # its layer_bus.py honored the key via a BlobFetcher process) —
+        # an explicit argument (CLI --prefetch/--no_prefetch) wins
+        self.use_prefetch = (cfg.TRAIN.USE_PREFETCH if use_prefetch is None
+                             else use_prefetch)
         self.vis = vis
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricLogger(output_dir)
@@ -89,9 +101,12 @@ class Solver:
             jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed))
         if pretrained:
             from wssdl_bus_tpu.models.pretrained import load_pretrained_npy
+            # min_loaded=1: fail fast if the checkpoint's scope names match
+            # NOTHING (ignore-missing semantics would otherwise train from
+            # scratch while claiming success)
             self.variables = load_pretrained_npy(
                 pretrained, self.variables, self.eng.model.backbone,
-                verbose=True)
+                verbose=True, min_loaded=1)
 
         # mid-training resume — a capability the reference LACKS (its
         # checkpoints are only ever consumed by test.py, SURVEY.md §5.4).
@@ -128,10 +143,28 @@ class Solver:
                         self.eval_rng.set_state(host["eval_rng"])
                 print(f"Resumed from {ckpt} at iter {step}")
 
+        if self.mesh is not None:
+            # commit the train state to the mesh replicated; TP shards
+            # resolve inside the jitted steps via their PartitionSpecs
+            self.variables = self.eng.replicate(self.variables)
+            self.opt_state = self.eng.replicate(self.opt_state)
+
     # ------------------------------------------------------------------ #
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _put_batch(self, blobs):
+        """Device placement for one training batch: data-axis sharded on a
+        mesh, plain transfer otherwise."""
+        if self.mesh is not None:
+            return self.eng.shard_batch(blobs)
+        return {k: jnp.asarray(v) for k, v in blobs.items()}
+
+    @property
+    def _train_step(self):
+        return (self.eng.train_step_parallel if self.mesh is not None
+                else self.eng.train_step)
 
     def _maybe_trace(self, it: int):
         """DEBUG_TIMELINE analog (reference dumps Chrome traces per step,
@@ -160,10 +193,16 @@ class Solver:
                 "key": np.asarray(self.key),
                 "eval_rng": self.eval_rng.get_state(),
                 "ws_step": int(ws_step)}
+        # fetch to host first: snapshots must restore onto ANY device
+        # topology (single chip or a different mesh), so nothing
+        # mesh-sharded may reach orbax
         path = save_checkpoint(self.output_dir, t.SNAPSHOT_PREFIX,
                                t.SNAPSHOT_INFIX, step + 1,
-                               self.variables, self.opt_state,
-                               opt_state_ws=opt_state_ws, host_state=host)
+                               jax.device_get(self.variables),
+                               jax.device_get(self.opt_state),
+                               opt_state_ws=(None if opt_state_ws is None
+                                             else jax.device_get(opt_state_ws)),
+                               host_state=host)
         print(f"Wrote snapshot to: {path}")
 
     # ------------------------------------------------------------------ #
@@ -287,7 +326,8 @@ class Solver:
         layer = RoIDataLayerJoint(
             self.roidb_train_s, self.roidb_train_ws, self.net_name, cfg,
             self.eng.canvas_hw,
-            rng=np.random.RandomState(self.rng.randint(2 ** 31)))
+            rng=np.random.RandomState(self.rng.randint(2 ** 31)),
+            slots=self.n_slots)
         if self.use_prefetch:
             layer = Prefetcher(layer)
         timer = Timer()
@@ -313,9 +353,8 @@ class Solver:
             timer.tic()
             blobs = layer.forward()
             cur_lr = self.schedule(it)
-            self.variables, self.opt_state, ls = self.eng.train_step(
-                self.variables, self.opt_state,
-                {k: jnp.asarray(v) for k, v in blobs.items()},
+            self.variables, self.opt_state, ls = self._train_step(
+                self.variables, self.opt_state, self._put_batch(blobs),
                 self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
             pending.append(ls)
             if len(pending) >= 25:  # hard cap independent of DISPLAY
@@ -356,13 +395,18 @@ class Solver:
         """
         cfg = self.cfg
         if eng_ws is None:
-            eng_ws = Engine(self.eng.model, cfg, self.eng.canvas_hw,
-                            num_supervised=0,
-                            num_ws=cfg.TRAIN.WS_IMS_PER_BATCH,
-                            dataset=self.eng.dataset,
-                            opt_name=self.eng.opt_name,
-                            selector_pair=("mass_max", "mal_max"))
+            kw = dict(num_supervised=0, num_ws=cfg.TRAIN.WS_IMS_PER_BATCH,
+                      dataset=self.eng.dataset, opt_name=self.eng.opt_name,
+                      selector_pair=("mass_max", "mal_max"))
+            if self.mesh is not None:
+                from wssdl_bus_tpu.parallel.engine import ParallelEngine
+                eng_ws = ParallelEngine(self.eng.model, cfg,
+                                        self.eng.canvas_hw, self.mesh, **kw)
+            else:
+                eng_ws = Engine(self.eng.model, cfg, self.eng.canvas_hw, **kw)
             eng_ws.tx = self.eng.tx
+        mil_step = (eng_ws.train_step_mil_parallel if self.mesh is not None
+                    else eng_ws.train_step_mil)
         params = {"trunk": self.variables["trunk"]["params"],
                   "head": self.variables["head"]["params"]}
         opt_state_ws = self.eng.tx.init(params)
@@ -370,19 +414,24 @@ class Solver:
             # restore the WS optimizer's moments too — resetting them would
             # make the resumed trajectory diverge from an uninterrupted run
             from wssdl_bus_tpu.train.checkpoint import load_checkpoint
-            restored = load_checkpoint(self._resume_ckpt, self.variables,
-                                       opt_state_ws_like=opt_state_ws)
+            restored = load_checkpoint(
+                self._resume_ckpt, jax.device_get(self.variables),
+                opt_state_ws_like=jax.device_get(opt_state_ws))
             if restored[-1] is not None:
                 opt_state_ws = restored[-1]
+        if self.mesh is not None:
+            opt_state_ws = self.eng.replicate(opt_state_ws)
 
         layer_s = RoIDataLayer(
             self.roidb_train_s, self.net_name, cfg, self.eng.canvas_hw,
             is_training=True, is_ws=False,
-            rng=np.random.RandomState(self.rng.randint(2 ** 31)))
+            rng=np.random.RandomState(self.rng.randint(2 ** 31)),
+            slots=self.n_slots)
         layer_ws = RoIDataLayer(
             self.roidb_train_ws, self.net_name, cfg, self.eng.canvas_hw,
             is_training=True, is_ws=True,
-            rng=np.random.RandomState(self.rng.randint(2 ** 31)))
+            rng=np.random.RandomState(self.rng.randint(2 ** 31)),
+            slots=self.n_slots)
         if self.use_prefetch:
             layer_s, layer_ws = Prefetcher(layer_s), Prefetcher(layer_ws)
 
@@ -429,16 +478,14 @@ class Solver:
             ls = mil = None
             if s_start <= it <= s_end:
                 blobs = layer_s.forward()
-                self.variables, self.opt_state, ls = self.eng.train_step(
-                    self.variables, self.opt_state,
-                    {k: jnp.asarray(b) for k, b in blobs.items()},
+                self.variables, self.opt_state, ls = self._train_step(
+                    self.variables, self.opt_state, self._put_batch(blobs),
                     self._next_key(), jnp.float32(cur_lr), jnp.int32(it))
             if (ws_start <= it <= ws_end
                     and (it + 1) % cfg.TRAIN.WS_TRAIN_INTERVAL == 0):
                 blobs = layer_ws.forward()
-                self.variables, opt_state_ws, mil = eng_ws.train_step_mil(
-                    self.variables, opt_state_ws,
-                    {k: jnp.asarray(b) for k, b in blobs.items()},
+                self.variables, opt_state_ws, mil = mil_step(
+                    self.variables, opt_state_ws, self._put_batch(blobs),
                     self._next_key(), jnp.float32(cur_lr),
                     jnp.int32(ws_step))
                 ws_step += 1
@@ -478,7 +525,7 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, pretrained_model, opt, lr,
                   lr_scheduling, vis, max_iters, cfg, net_depth, norm_type,
                   dataset, canvas_hw, num_ws, selector_pair, use_prefetch,
-                  resume, seed=None):
+                  resume, seed=None, mesh_data=1, mesh_model=1):
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.models.detector import build_detector
 
@@ -494,8 +541,14 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
     model = build_detector(network, net_depth, norm_type, num_classes=3,
                            gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                       cfg.TRAIN.GN_MIN_CHS_PER_G))
-    eng = Engine(model, cfg, canvas_hw, num_ws=num_ws, dataset=dataset,
-                 opt_name=opt, selector_pair=selector_pair)
+    ekw = dict(num_ws=num_ws, dataset=dataset, opt_name=opt,
+               selector_pair=selector_pair)
+    if mesh_data * mesh_model > 1:
+        from wssdl_bus_tpu.parallel import ParallelEngine, make_mesh
+        mesh = make_mesh(n_data=mesh_data, n_model=mesh_model)
+        eng = ParallelEngine(model, cfg, canvas_hw, mesh, **ekw)
+    else:
+        eng = Engine(model, cfg, canvas_hw, **ekw)
     return Solver(eng, cfg, network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, lr_scheduling=lr_scheduling,
                   max_iters=max_iters, pretrained=pretrained_model,
@@ -508,21 +561,23 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
               s_start_iter=0, s_end_iter=80000, ws_start_iter=0,
               ws_end_iter=80000, opt="adam", lr=5e-4, lr_scheduling="const",
               vis=False, *, cfg=None, net_depth=18, norm_type="BN",
-              dataset="SNUBH", canvas_hw=None, use_prefetch=True,
-              resume=False, seed=None) -> Solver:
+              dataset="SNUBH", canvas_hw=None, use_prefetch=None,
+              resume=False, seed=None, mesh_data=1, mesh_model=1) -> Solver:
     """Combined-minibatch training (reference ``train_net``,
     train_bus.py:1073-1088).  The s/ws window arguments are accepted for
     signature parity; like the reference's ``train_model`` they are unused in
     the combined regime.  Differences: the network is a factory name (we build
     the model here — no TF session), plus keyword-only extras for config,
-    canvas and resume."""
+    canvas, resume and the device mesh (mesh_data x mesh_model > 1 trains
+    SPMD via parallel.ParallelEngine — additive, SURVEY.md §2.8)."""
     del s_start_iter, s_end_iter, ws_start_iter, ws_end_iter  # parity only
     solver = _build_solver(
         network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
         output_dir, pretrained_model, opt, lr, lr_scheduling, vis, max_iters,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=None, selector_pair=("mal_max", "mal_max"),
-        use_prefetch=use_prefetch, resume=resume, seed=seed)
+        use_prefetch=use_prefetch, resume=resume, seed=seed,
+        mesh_data=mesh_data, mesh_model=mesh_model)
     print("Solving...")
     solver.train_combined()
     print("done solving")
@@ -535,8 +590,8 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
                     ws_start_iter=0, ws_end_iter=80000, opt="adam", lr=5e-4,
                     lr_scheduling="const", vis=False, *, cfg=None,
                     net_depth=18, norm_type="BN", dataset="SNUBH",
-                    canvas_hw=None, use_prefetch=True, resume=False,
-                    seed=None) -> Solver:
+                    canvas_hw=None, use_prefetch=None, resume=False,
+                    seed=None, mesh_data=1, mesh_model=1) -> Solver:
     """Alternating-minibatch training (reference ``train_net_alter``,
     train_bus.py:1055-1070).  Supervised-only training: pass
     ``ws_start_iter > max_iters`` (train_alter.py:3-5)."""
@@ -545,7 +600,8 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
         output_dir, pretrained_model, opt, lr, lr_scheduling, vis, max_iters,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=0, selector_pair=("mass_max", "mal_max"),
-        use_prefetch=use_prefetch, resume=resume, seed=seed)
+        use_prefetch=use_prefetch, resume=resume, seed=seed,
+        mesh_data=mesh_data, mesh_model=mesh_model)
     print("Solving...")
     solver.train_alternating(s_start_iter, s_end_iter, ws_start_iter,
                              ws_end_iter)

@@ -108,6 +108,25 @@ def test_mesh_train_and_serve_cli(tmp_path):
     assert os.path.exists(os.path.join(out2, "eval.txt"))
 
 
+def test_eval_batch_cli(tmp_path):
+    """Batched in-loop eval (--eval_batch 2 over 5 test images exercises
+    the padded tail batch): same artifacts, per-image loss accumulation."""
+    out = str(tmp_path / "evalb")
+    from wssdl_bus_tpu.main.train import main as train_main
+    run_cli(train_main, [
+        "train.py", "--max_iters", "2", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch", "--eval_batch", "2",
+        "--set_cfgs", *SMALL_CFGS])
+    assert os.path.exists(os.path.join(out, "test", "eval.txt"))
+    assert os.path.exists(os.path.join(out, "test", "detections.pkl"))
+    import pickle
+    with open(os.path.join(out, "test", "detections.pkl"), "rb") as f:
+        all_boxes = pickle.load(f)
+    # every one of the 5 test images got a (possibly empty) detection table
+    assert len(all_boxes[1]) == 5
+    assert all(isinstance(b, np.ndarray) for b in all_boxes[1])
+
+
 def test_mesh_alter_cli(tmp_path):
     """Alternating regime under a data-parallel mesh: both the supervised
     parallel step and train_step_mil_parallel run, two optimizer states."""

@@ -82,3 +82,52 @@ def test_score_rounding_matches_results_file():
     *_, ni, nok, _, _, _ = voc_eval_class(dets, gts, ["im0"],
                                           score_thresh=0.5)
     assert (ni, nok) == (1, 0)
+
+
+def test_froc_sweep_matches_per_threshold_calls():
+    """The one-pass froc_sweep must reproduce the reference's 21 separate
+    voc_eval_class evaluations point-for-point, including score ties at the
+    rounded thresholds and images with no GT / no detections."""
+    from wssdl_bus_tpu.evaluate.voc_eval import froc_sweep
+
+    rng = np.random.RandomState(7)
+    imagenames = [f"im{i}" for i in range(12)]
+    gts, dets = {}, {}
+    for i, name in enumerate(imagenames):
+        n_gt = rng.randint(0, 3)
+        boxes = []
+        for _ in range(n_gt):
+            x1, y1 = rng.randint(0, 200, 2)
+            w, h = rng.randint(20, 80, 2)
+            boxes.append([x1, y1, x1 + w, y1 + h])
+        gts[name] = (np.array(boxes, float).reshape(-1, 4),
+                     rng.rand(n_gt) < 0.2)
+        n_det = rng.randint(0, 6)
+        rows = []
+        for _ in range(n_det):
+            if boxes and rng.rand() < 0.5:  # near-hit of a random GT
+                bx = boxes[rng.randint(len(boxes))]
+                jit = rng.randint(-5, 6, 4)
+                rows.append([bx[0] + jit[0], bx[1] + jit[1],
+                             bx[2] + jit[2], bx[3] + jit[3],
+                             # scores that round to exact threshold values
+                             rng.choice([0.95, 0.9, 0.8999, 0.5, 0.05,
+                                         rng.rand()])])
+            else:
+                x1, y1 = rng.randint(0, 300, 2)
+                rows.append([x1, y1, x1 + 30, y1 + 30, rng.rand()])
+        dets[name] = np.array(rows, np.float32).reshape(-1, 5)
+
+    thresholds = list(np.arange(1.0, -0.01, -0.05))
+    fast = froc_sweep(dets, gts, imagenames, thresholds)
+    for t, thr in enumerate(thresholds):
+        _, _, _, ni, nok, _, num_fps, _ = voc_eval_class(
+            dets, gts, imagenames, score_thresh=thr)
+        slow_pt = (float(num_fps) / max(ni, 1), float(nok) / max(ni, 1))
+        assert fast[t] == slow_pt, (thr, fast[t], slow_pt)
+
+    # degenerate: no detections anywhere -> the reference's ni=0 early
+    # return makes every point (0, 0)
+    empty = {n: np.zeros((0, 5), np.float32) for n in imagenames}
+    assert froc_sweep(empty, gts, imagenames, thresholds) == \
+        [(0.0, 0.0)] * len(thresholds)

@@ -55,8 +55,113 @@ def _iou_1_to_many(bb, BBGT):
     return inters / uni
 
 
+class _ClassEval:
+    """Threshold-independent per-class precompute, shared by the single
+    evaluation (``voc_eval_class``) and the 21-threshold FROC sweep
+    (``froc_sweep``) so the sweep never re-sorts, re-rounds or re-computes
+    IoUs (the reference re-runs the whole engine per threshold,
+    bus.py:366-390 — quadratic in practice).
+
+    Rounding/sort/IoU semantics are bit-identical to the reference's
+    per-call path: scores ``%.3f``- and coordinates ``%.1f``-rounded through
+    the results-file round trip (bus.py:254-261), detections sorted by
+    ``np.argsort(-confidence)``, IoUs in float64 with the +1 area
+    convention.
+    """
+
+    def __init__(self, dets_per_image, gt_per_image, imagenames,
+                 ovthresh=0.5):
+        self.imagenames = list(imagenames)
+        self.ovthresh = ovthresh
+        # flatten + round + sort by confidence (voc_eval_bus.py:149-158)
+        image_ids, confidence, BB = [], [], []
+        for name in imagenames:
+            dets = dets_per_image.get(name)
+            if dets is None or len(dets) == 0:
+                continue
+            for row in dets:
+                image_ids.append(name)
+                confidence.append(float(f"{float(row[4]):.3f}"))
+                BB.append([float(f"{row[0] + 1:.1f}"),
+                           float(f"{row[1] + 1:.1f}"),
+                           float(f"{row[2] + 1:.1f}"),
+                           float(f"{row[3] + 1:.1f}")])
+        self.npos = sum(int(np.sum(~np.asarray(gt_per_image[n][1], bool)))
+                        for n in imagenames)
+        self.nd = len(image_ids)
+        self.gt = {n: (np.array(gt_per_image[n][0], float),
+                       np.asarray(gt_per_image[n][1], bool))
+                   for n in imagenames}
+        # GT-containing image count; the reference reports ni=0 when there
+        # are no detections at all (early return, voc_eval_bus.py:150-158)
+        self.ni = sum(1 for n in imagenames if self.gt[n][0].shape[0] > 0)
+        if not self.nd:
+            return
+
+        confidence = np.array(confidence)
+        sorted_ind = np.argsort(-confidence)
+        self.sorted_scores = np.sort(-confidence)
+        self.BB = np.array(BB, float)[sorted_ind]
+        self.image_ids = [image_ids[i] for i in sorted_ind]
+
+        # per-detection max-IoU/argmax vs the image's GT (incl. difficult),
+        # computed once image-by-image with the exact _iou_1_to_many math
+        self.ovmax = np.full(self.nd, -np.inf)
+        self.jmax = np.zeros(self.nd, np.int64)
+        det_rows = {n: [] for n in imagenames}
+        for d, name in enumerate(self.image_ids):
+            det_rows[name].append(d)
+        self._det_rows = {n: np.asarray(r, np.int64)
+                          for n, r in det_rows.items()}
+        for name in imagenames:
+            rows = self._det_rows[name]
+            BBGT = self.gt[name][0]
+            if rows.size == 0 or BBGT.shape[0] == 0:
+                continue
+            iou = np.stack([_iou_1_to_many_multi(self.BB[rows], g)
+                            for g in BBGT], axis=1)  # [nd_i, M_i]
+            self.ovmax[rows] = iou.max(axis=1)
+            self.jmax[rows] = iou.argmax(axis=1)
+
+        # per-image best qualifying score for CorLoc: the most confident
+        # detection overlapping ANY GT of this class with IoU > ovthresh
+        # (stored as the NEGATED score so threshold comparisons are the
+        # reference's `sorted_scores <= -score_thresh` form)
+        self._best_ok_neg = {}
+        for name in imagenames:
+            rows = self._det_rows[name]
+            if rows.size == 0 or self.gt[name][0].shape[0] == 0:
+                continue
+            ok = self.ovmax[rows] > ovthresh
+            if ok.any():
+                self._best_ok_neg[name] = self.sorted_scores[rows][ok].min()
+
+    # ---------------------------------------------------------------- #
+    def corloc(self, score_thresh):
+        """(ni, nok, arr_ok) — voc_eval_bus.py:160-206."""
+        ni = nok = 0
+        arr_ok = np.zeros((max(200, len(self.imagenames)),))
+        for name in self.imagenames:
+            if self.gt[name][0].shape[0] == 0:
+                continue
+            ni += 1
+            best = self._best_ok_neg.get(name)
+            if best is not None and best <= -score_thresh:
+                arr_ok[ni - 1] = True
+                nok += 1
+        return ni, nok, arr_ok
+
+    def froc_fps(self, score_thresh):
+        """Count of detections with score >= thresh and max-IoU <= ovthresh
+        (the `fp_froc` sum, voc_eval_bus.py:248-266)."""
+        cut = np.searchsorted(self.sorted_scores, -score_thresh,
+                              side="right")
+        return int(np.sum(self.ovmax[:cut] <= self.ovthresh))
+
+
 def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
-                   ovthresh=0.5, use_07_metric=True, score_thresh=0.5):
+                   ovthresh=0.5, use_07_metric=True, score_thresh=0.5,
+                   _pre: _ClassEval = None):
     """Evaluate one class.
 
     Args:
@@ -75,78 +180,34 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
     Returns the reference's 8-tuple
       (rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img).
     """
-    # flatten + sort by confidence (voc_eval_bus.py:149-158)
-    image_ids, confidence, BB = [], [], []
-    for name in imagenames:
-        dets = dets_per_image.get(name)
-        if dets is None or len(dets) == 0:
-            continue
-        for row in dets:
-            image_ids.append(name)
-            confidence.append(float(f"{float(row[4]):.3f}"))
-            BB.append([float(f"{row[0] + 1:.1f}"), float(f"{row[1] + 1:.1f}"),
-                       float(f"{row[2] + 1:.1f}"), float(f"{row[3] + 1:.1f}")])
-    npos = sum(int(np.sum(~np.asarray(gt_per_image[n][1], bool)))
-               for n in imagenames)
-
-    if not image_ids:
+    pre = _pre or _ClassEval(dets_per_image, gt_per_image, imagenames,
+                             ovthresh)
+    if not pre.nd:
         return -1, -1, -1, 0, 0, np.zeros((200,)), 0, [0] * len(imagenames)
 
-    confidence = np.array(confidence)
-    BB = np.array(BB, float)
-    sorted_ind = np.argsort(-confidence)
-    sorted_scores = np.sort(-confidence)
-    BB = BB[sorted_ind]
-    image_ids = [image_ids[i] for i in sorted_ind]
-
-    class_recs = {n: {"bbox": np.array(gt_per_image[n][0], float),
-                      "difficult": np.asarray(gt_per_image[n][1], bool),
-                      "det": [False] * len(gt_per_image[n][0])}
-                  for n in imagenames}
+    image_ids, sorted_scores = pre.image_ids, pre.sorted_scores
+    difficult = {n: pre.gt[n][1] for n in imagenames}
+    det_mark = {n: [False] * len(pre.gt[n][0]) for n in imagenames}
 
     # CorLoc (voc_eval_bus.py:160-206)
-    ni = nok = 0
-    arr_ok = np.zeros((max(200, len(imagenames)),))
-    ids_arr = np.array(image_ids)
-    for name in imagenames:
-        BBGT = class_recs[name]["bbox"]
-        if BBGT.shape[0] == 0:
-            continue
-        ni += 1
-        sel = (ids_arr == name) & (sorted_scores <= -score_thresh)
-        if not sel.any():
-            continue
-        bb = BB[sel]
-        bok = False
-        for j in range(BBGT.shape[0]):
-            overlaps = _iou_1_to_many_multi(bb, BBGT[j])
-            if np.max(overlaps) > ovthresh:
-                bok = True
-        if bok:
-            arr_ok[ni - 1] = True
-            nok += 1
+    ni, nok, arr_ok = pre.corloc(score_thresh)
 
-    # TP/FP sweep (voc_eval_bus.py:207-266)
-    nd = len(image_ids)
+    # TP/FP sweep (voc_eval_bus.py:207-266) — greedy per-GT matching in
+    # global confidence order, using the precomputed ovmax/jmax
+    nd = pre.nd
     tp = np.zeros(nd)
     fp = np.zeros(nd)
     fp_froc = np.zeros(nd)
     for d in range(nd):
-        R = class_recs[image_ids[d]]
-        bb = BB[d]
-        ovmax = -np.inf
-        BBGT = R["bbox"]
-        if BBGT.size > 0:
-            overlaps = _iou_1_to_many(bb, BBGT)
-            ovmax = np.max(overlaps)
-            jmax = np.argmax(overlaps)
+        name = image_ids[d]
+        ovmax, jmax = pre.ovmax[d], pre.jmax[d]
         if ovmax > ovthresh:
             # a detection matching a difficult GT is neither TP nor FP
             # (voc_eval_bus.py:238-246)
-            if not R["difficult"][jmax]:
-                if not R["det"][jmax]:
+            if not difficult[name][jmax]:
+                if not det_mark[name][jmax]:
                     tp[d] = 1.0
-                    R["det"][jmax] = True
+                    det_mark[name][jmax] = True
                 else:
                     fp[d] = 1.0
         else:
@@ -163,10 +224,28 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
 
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)
-    rec = tp / float(max(npos, 1))  # npos excludes difficult (ref :138)
+    rec = tp / float(max(pre.npos, 1))  # npos excludes difficult (ref :138)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     ap = voc_ap(rec, prec, use_07_metric)
     return rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img
+
+
+def froc_sweep(dets_per_image, gt_per_image, imagenames, thresholds,
+               ovthresh=0.5):
+    """FROC curve points for one class over all ``thresholds`` in ONE pass:
+    -> list of (num_all_fps / max(ni,1), nok / max(ni,1)) matching what 21
+    separate ``voc_eval_class`` calls produce (bus.py:366-390), without
+    re-sorting / re-rounding / re-computing IoUs per threshold."""
+    pre = _ClassEval(dets_per_image, gt_per_image, imagenames, ovthresh)
+    pts = []
+    for thr in thresholds:
+        if not pre.nd:
+            pts.append((0.0, 0.0))  # reference early-return: ni = 0
+            continue
+        ni, nok, _ = pre.corloc(thr)
+        fps = pre.froc_fps(thr)
+        pts.append((float(fps) / max(ni, 1), float(nok) / max(ni, 1)))
+    return pts
 
 
 def _iou_1_to_many_multi(bb_many, gt_one):
@@ -266,17 +345,16 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
     f_log.write(f"Mean AP = {mean_ap:.4f}\n")
     f_log.write(f"CorLoc = {overall:.4f}\n")
 
-    # FROC curves (bus.py:366-390)
+    # FROC curves (bus.py:366-390) — one precompute pass per class instead
+    # of the reference's 21 full re-evaluations (same points bit-for-bit;
+    # tests/test_voc_eval.py compares against the per-threshold path)
     curve_pts = [[], [], []]  # [all, benign, malignant]
-    for thr in np.arange(1.0, -0.01, -0.05):
-        for ci, cls in enumerate(imdb.classes):
-            if cls == "__background__":
-                continue
-            _, _, _, ni, nok, _, num_all_fps, _ = voc_eval_class(
-                dets_for_class(ci), gt_cache[cls], imagenames,
-                score_thresh=thr)
-            curve_pts[ci].append((float(num_all_fps) / max(ni, 1),
-                                  float(nok) / max(ni, 1)))
+    thresholds = list(np.arange(1.0, -0.01, -0.05))
+    for ci, cls in enumerate(imdb.classes):
+        if cls == "__background__":
+            continue
+        curve_pts[ci] = froc_sweep(dets_for_class(ci), gt_cache[cls],
+                                   imagenames, thresholds)
     for i in range(len(curve_pts[1])):
         curve_pts[0].append(((curve_pts[1][i][0] + curve_pts[2][i][0]) / 2,
                              (curve_pts[1][i][1] + curve_pts[2][i][1]) / 2))

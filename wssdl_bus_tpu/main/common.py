@@ -71,6 +71,9 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--qual_res", action="store_true",
                         help="save qualitative overlays during in-loop eval "
                              "(the reference's qual_res, train.py:44-45)")
+    parser.add_argument("--eval_batch", default=1, type=int,
+                        help="test images per device step during in-loop "
+                             "eval (1 = the reference's per-image cadence)")
 
 
 def prefetch_choice(args):

@@ -49,7 +49,8 @@ def main():
               use_prefetch=prefetch_choice(args), resume=args.resume,
               seed=(int(np.random.randint(2 ** 31))
                     if args.randomize else None),
-              mesh_data=args.mesh_data, mesh_model=args.mesh_model)
+              mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+              eval_batch=args.eval_batch)
 
 
 if __name__ == "__main__":

@@ -383,30 +383,45 @@ class Engine:
         cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
 
         r = cfg.TRAIN.BATCH_SIZE
-        rpn_cls = L.rpn_class_loss(rpn_score, at.labels, self.num_anchors)
-        rpn_box = L.rpn_box_loss(rpn_bbox, at.bbox_targets, at.inside_weights,
-                                 at.outside_weights, n_s, self.num_anchors)
-        rcnn_cls = L.rcnn_class_loss(cls_score, samples.labels.reshape(-1))
-        rcnn_box = L.rcnn_box_loss(bbox_pred,
-                                   samples.bbox_targets.reshape(n_s * r, -1),
-                                   samples.inside_weights.reshape(n_s * r, -1),
-                                   samples.outside_weights.reshape(n_s * r, -1),
-                                   samples.labels.reshape(-1))
-        # test-time MIL bag CE over the sampled rois with the image's BIRADS
-        # bag label (the reference fetches mil_cross_entropy per eval image,
-        # train_bus.py:445-451,519-520)
-        bag_labels = batch["im_info"][:, 3].astype(jnp.int32)
-        bag_logits = get_bag_logits(cls_score.reshape(n_s, r, -1),
-                                    samples.labels >= 0, bag_labels,
-                                    self.selector_pair)
         if cfg.TRAIN.WS_LOSS_USE_ADAPTIVE_SCALE_FACTOR:
             mil_scale = L.mil_adaptive_scale(jnp.asarray(step, jnp.int32))
         else:
             mil_scale = cfg.TRAIN.WS_LOSS_SCALE_FACTOR
-        mil = L.mil_class_loss(bag_logits, bag_labels, cfg.TRAIN.WS_MAL_PCT,
-                               mil_scale)
-        ls = StepLosses(rpn_cls + rpn_box + rcnn_cls + rcnn_box,
-                        rpn_cls, rpn_box, rcnn_cls, rcnn_box, mil)
+        bag_labels = batch["im_info"][:, 3].astype(jnp.int32)
+
+        # PER-IMAGE losses (fields shaped [B]): the reference evaluates the
+        # test set one image at a time and accumulates per-image loss values
+        # (train_bus.py:792-816); a batched eval step must preserve that
+        # per-image normalization (e.g. RPN CE divides by each image's own
+        # non-ignored anchor count), so each loss is computed on the image's
+        # slice.  With B=1 this is the identical computation.
+        per = []
+        for i in range(n_s):
+            sl = slice(i * r, (i + 1) * r)
+            rpn_cls = L.rpn_class_loss(rpn_score[i:i + 1],
+                                       at.labels[i:i + 1], self.num_anchors)
+            rpn_box = L.rpn_box_loss(
+                rpn_bbox[i:i + 1], at.bbox_targets[i:i + 1],
+                at.inside_weights[i:i + 1], at.outside_weights[i:i + 1],
+                1, self.num_anchors)
+            labels_i = samples.labels[i].reshape(-1)
+            rcnn_cls = L.rcnn_class_loss(cls_score[sl], labels_i)
+            rcnn_box = L.rcnn_box_loss(
+                bbox_pred[sl], samples.bbox_targets[i].reshape(r, -1),
+                samples.inside_weights[i].reshape(r, -1),
+                samples.outside_weights[i].reshape(r, -1), labels_i)
+            # test-time MIL bag CE over the sampled rois with the image's
+            # BIRADS bag label (the reference fetches mil_cross_entropy per
+            # eval image, train_bus.py:445-451,519-520)
+            bag_logits = get_bag_logits(
+                cls_score[sl].reshape(1, r, -1), (labels_i >= 0)[None],
+                bag_labels[i:i + 1], self.selector_pair)
+            mil = L.mil_class_loss(bag_logits, bag_labels[i:i + 1],
+                                   cfg.TRAIN.WS_MAL_PCT, mil_scale)
+            per.append(StepLosses(rpn_cls + rpn_box + rcnn_cls + rcnn_box,
+                                  rpn_cls, rpn_box, rcnn_cls, rcnn_box, mil))
+        ls = StepLosses(*[jnp.stack([p[f] for p in per])
+                          for f in range(len(StepLosses._fields))])
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return ls, rois_all, cls_prob, bbox_pred, samples.labels.reshape(-1)
 
@@ -414,10 +429,11 @@ class Engine:
     def eval_step(self, variables, batch, key, step=0):
         """In-training evaluation forward (reference call stack 3.4): the
         training pipeline with is_training=False — TEST proposal budgets,
-        no GT appended to candidates, running BN stats, no dropout — losses
-        plus detection outputs from the SAMPLED rois (train_bus.py:792-892).
-        ``step`` feeds the adaptive MIL scale like the reference's fetched
-        ``mil_cross_entropy`` at the current global step (:445-451)."""
+        no GT appended to candidates, running BN stats, no dropout — PER-IMAGE
+        losses (StepLosses fields shaped [B]) plus detection outputs from the
+        SAMPLED rois (train_bus.py:792-892).  ``step`` feeds the adaptive MIL
+        scale like the reference's fetched ``mil_cross_entropy`` at the
+        current global step (:445-451)."""
         return self._eval_impl(variables, batch, key, step)
 
     # ------------------------------------------------------------------ #

@@ -50,7 +50,8 @@ class Solver:
                  max_iters: int = 60000, pretrained: Optional[str] = None,
                  use_prefetch: Optional[bool] = None,
                  seed: Optional[int] = None,
-                 vis: bool = False, resume: bool = False):
+                 vis: bool = False, resume: bool = False,
+                 eval_batch: int = 1):
         self.eng = engine
         # multi-device: a ParallelEngine carries a ("data","model") mesh;
         # the loaders then assemble one contiguous per-slot global batch per
@@ -72,6 +73,12 @@ class Solver:
         # an explicit argument (CLI --prefetch/--no_prefetch) wins
         self.use_prefetch = (cfg.TRAIN.USE_PREFETCH if use_prefetch is None
                              else use_prefetch)
+        # images per device step in periodic_eval.  1 = the reference's
+        # per-image cadence (train_bus.py:800-816); >1 packs a whole batch
+        # per eval_step dispatch (per-image loss normalization is preserved
+        # — eval_step returns [B] per-image losses — only the jax.random
+        # draw grouping changes, one key per batch instead of per image)
+        self.eval_batch = max(1, int(eval_batch))
         self.vis = vis
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricLogger(output_dir)
@@ -218,6 +225,28 @@ class Solver:
         total_wo_mil = v[1] + v[2] + v[3] + v[4]
         return np.array([total_wo_mil, v[1], v[2], v[3], v[4], v[5]])
 
+    def _losses_np_rows(self, ls) -> np.ndarray:
+        """Per-image eval losses [B] per field -> [B, 6] with the
+        reference's total-excludes-MIL convention."""
+        cols = [np.asarray(x, np.float64).reshape(-1) for x in ls]
+        total_wo_mil = cols[1] + cols[2] + cols[3] + cols[4]
+        return np.stack([total_wo_mil, cols[1], cols[2], cols[3], cols[4],
+                         cols[5]], axis=1)
+
+    def _maybe_vis_eval(self, idx, all_boxes, num_classes, test_dir):
+        if not self.vis:
+            return
+        # qualitative overlays like train_bus.py:824-871
+        from wssdl_bus_tpu.data.minibatch import _load_gray
+        from wssdl_bus_tpu.evaluate.visualize import save_qualitative
+        entry = self.roidb_test[idx]
+        save_qualitative(
+            _load_gray(entry),
+            {j: all_boxes[j][idx] for j in range(1, num_classes)},
+            test_dir,
+            os.path.splitext(os.path.basename(entry["image"]))[0],
+            gt_boxes=entry["boxes"], gt_classes=entry["gt_classes"])
+
     # ------------------------------------------------------------------ #
     def periodic_eval(self, it: int, cur_lr: float, training_loss,
                       test_loss_logs):
@@ -236,47 +265,52 @@ class Solver:
         from wssdl_bus_tpu.evaluate.detect import unnormalize_bbox_pred
         from wssdl_bus_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 
-        for idx in range(len_test):
-            blobs = get_minibatch([self.roidb_test[idx]], self.net_name, cfg,
+        B = self.eval_batch
+        r = cfg.TRAIN.BATCH_SIZE
+        for start in range(0, len_test, B):
+            idxs = list(range(start, min(start + B, len_test)))
+            # pad the tail to the compiled batch size; padded rows are
+            # dropped below (per-image losses make the padding free)
+            entries = [self.roidb_test[i] for i in idxs]
+            entries += [entries[-1]] * (B - len(idxs))
+            blobs = get_minibatch(entries, self.net_name, cfg,
                                   self.eng.canvas_hw, is_training=False,
                                   is_ws=False, rng=self.eval_rng)
-            ls, rois, cls_prob, bbox_pred, labels = self.eng.eval_step(
-                self.variables, {k: jnp.asarray(v) for k, v in blobs.items()},
-                self._next_key(), jnp.int32(it))
-            v = self._losses_np(ls)
-            test_loss += v
+            ls, rois_b, cls_prob_b, bbox_pred_b, labels_b = \
+                self.eng.eval_step(
+                    self.variables,
+                    {k: jnp.asarray(v) for k, v in blobs.items()},
+                    self._next_key(), jnp.int32(it))
+            rows = self._losses_np_rows(ls)
+            test_loss += rows[:len(idxs)].sum(axis=0)
 
-            im_h, im_w = self.roidb_test[idx]["height"], \
-                self.roidb_test[idx]["width"]
-            scale = blobs["im_info"][0, 2]
-            # drop unfilled sampler slots (label -1): their rows hold
-            # arbitrary unselected candidates, and the reference evaluates
-            # only the actually-sampled rois (train_bus.py:811-850)
-            filled = np.asarray(labels) >= 0
-            rois = np.asarray(rois)[filled]
-            cls_prob = np.asarray(cls_prob)[filled]
-            bbox_pred = np.asarray(bbox_pred)[filled]
-            boxes = np.asarray(rois)[:, 1:5] / scale
-            bp = unnormalize_bbox_pred(np.asarray(bbox_pred), cfg)
-            pred = np.asarray(clip_boxes(
-                np.asarray(bbox_transform_inv(boxes, bp))
-                .reshape(-1, 4), im_h, im_w)).reshape(len(boxes), -1)
-            per_class = apply_nms_per_class(
-                np.asarray(cls_prob), pred, num_classes, 0.05, cfg.TEST.NMS,
-                cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
-            for j in range(1, num_classes):
-                all_boxes[j][idx] = per_class[j]
-            if self.vis:
-                # qualitative overlays like train_bus.py:824-871
-                from wssdl_bus_tpu.data.minibatch import _load_gray
-                from wssdl_bus_tpu.evaluate.visualize import save_qualitative
-                entry = self.roidb_test[idx]
-                save_qualitative(
-                    _load_gray(entry),
-                    {j: all_boxes[j][idx] for j in range(1, num_classes)},
-                    test_dir, os.path.splitext(
-                        os.path.basename(entry["image"]))[0],
-                    gt_boxes=entry["boxes"], gt_classes=entry["gt_classes"])
+            rois_b = np.asarray(rois_b).reshape(B, r, 5)
+            cls_prob_b = np.asarray(cls_prob_b).reshape(B, r, -1)
+            bbox_pred_b = np.asarray(bbox_pred_b).reshape(B, r, -1)
+            labels_b = np.asarray(labels_b).reshape(B, r)
+            for k, idx in enumerate(idxs):
+                im_h, im_w = self.roidb_test[idx]["height"], \
+                    self.roidb_test[idx]["width"]
+                scale = blobs["im_info"][k, 2]
+                # drop unfilled sampler slots (label -1): their rows hold
+                # arbitrary unselected candidates, and the reference
+                # evaluates only the actually-sampled rois
+                # (train_bus.py:811-850)
+                filled = labels_b[k] >= 0
+                rois = rois_b[k][filled]
+                cls_prob = cls_prob_b[k][filled]
+                bbox_pred = bbox_pred_b[k][filled]
+                boxes = rois[:, 1:5] / scale
+                bp = unnormalize_bbox_pred(bbox_pred, cfg)
+                pred = np.asarray(clip_boxes(
+                    np.asarray(bbox_transform_inv(boxes, bp))
+                    .reshape(-1, 4), im_h, im_w)).reshape(len(boxes), -1)
+                per_class = apply_nms_per_class(
+                    cls_prob, pred, num_classes, 0.05, cfg.TEST.NMS,
+                    cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
+                for j in range(1, num_classes):
+                    all_boxes[j][idx] = per_class[j]
+                self._maybe_vis_eval(idx, all_boxes, num_classes, test_dir)
 
         with open(os.path.join(test_dir, "detections.pkl"), "wb") as f:
             pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
@@ -525,7 +559,7 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, pretrained_model, opt, lr,
                   lr_scheduling, vis, max_iters, cfg, net_depth, norm_type,
                   dataset, canvas_hw, num_ws, selector_pair, use_prefetch,
-                  resume, seed=None, mesh_data=1, mesh_model=1):
+                  resume, seed=None, mesh_data=1, mesh_model=1, eval_batch=1):
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.models.detector import build_detector
 
@@ -553,7 +587,7 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, lr_scheduling=lr_scheduling,
                   max_iters=max_iters, pretrained=pretrained_model,
                   use_prefetch=use_prefetch, vis=vis, resume=resume,
-                  seed=seed)
+                  seed=seed, eval_batch=eval_batch)
 
 
 def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
@@ -562,7 +596,8 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
               ws_end_iter=80000, opt="adam", lr=5e-4, lr_scheduling="const",
               vis=False, *, cfg=None, net_depth=18, norm_type="BN",
               dataset="SNUBH", canvas_hw=None, use_prefetch=None,
-              resume=False, seed=None, mesh_data=1, mesh_model=1) -> Solver:
+              resume=False, seed=None, mesh_data=1, mesh_model=1,
+              eval_batch=1) -> Solver:
     """Combined-minibatch training (reference ``train_net``,
     train_bus.py:1073-1088).  The s/ws window arguments are accepted for
     signature parity; like the reference's ``train_model`` they are unused in
@@ -577,7 +612,7 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=None, selector_pair=("mal_max", "mal_max"),
         use_prefetch=use_prefetch, resume=resume, seed=seed,
-        mesh_data=mesh_data, mesh_model=mesh_model)
+        mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch)
     print("Solving...")
     solver.train_combined()
     print("done solving")
@@ -591,7 +626,8 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
                     lr_scheduling="const", vis=False, *, cfg=None,
                     net_depth=18, norm_type="BN", dataset="SNUBH",
                     canvas_hw=None, use_prefetch=None, resume=False,
-                    seed=None, mesh_data=1, mesh_model=1) -> Solver:
+                    seed=None, mesh_data=1, mesh_model=1,
+                    eval_batch=1) -> Solver:
     """Alternating-minibatch training (reference ``train_net_alter``,
     train_bus.py:1055-1070).  Supervised-only training: pass
     ``ws_start_iter > max_iters`` (train_alter.py:3-5)."""
@@ -601,7 +637,7 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=0, selector_pair=("mass_max", "mal_max"),
         use_prefetch=use_prefetch, resume=resume, seed=seed,
-        mesh_data=mesh_data, mesh_model=mesh_model)
+        mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch)
     print("Solving...")
     solver.train_alternating(s_start_iter, s_end_iter, ws_start_iter,
                              ws_end_iter)

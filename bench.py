@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per inference step (the batched serving "
+                         "path, evaluate/detect.py:im_detect_batch)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the combined TRAIN step instead "
                          "(1 supervised + 2 weak images, full budgets)")
@@ -92,13 +95,14 @@ def main():
                 np.float32)),
         }
         key, lr = jax.random.PRNGKey(1), jnp.float32(5e-4)
-        variables, opt_state, ls = eng.train_step(
+        # the donated hot-loop variant, as Solver's training loop uses
+        variables, opt_state, ls = eng.train_step_donated(
             variables, opt_state, batch, key, lr, jnp.int32(0))
         float(ls.total)  # hard sync (see the inference methodology notes)
         iters = max(5, args.iters)
         t0 = time.perf_counter()
         for i in range(iters):
-            variables, opt_state, ls = eng.train_step(
+            variables, opt_state, ls = eng.train_step_donated(
                 variables, opt_state, batch, key, lr, jnp.int32(i))
         float(ls.total)  # the chain runs through variables/opt_state
         dt = (time.perf_counter() - t0) / iters
@@ -127,10 +131,12 @@ def main():
     #     ONE final fetch and subtract the separately measured fetch RTT.
     import jax.numpy as jnp
 
-    datas = [jax.device_put(rng.rand(1, canvas[0], canvas[1], 3)
+    nb = max(1, args.batch)
+    datas = [jax.device_put(rng.rand(nb, canvas[0], canvas[1], 3)
                             .astype(np.float32)) for _ in range(8)]
     im_info = jax.device_put(
-        np.array([[canvas[0], canvas[1], 1.0, 0.0]], np.float32))
+        np.tile(np.array([[canvas[0], canvas[1], 1.0, 0.0]], np.float32),
+                (nb, 1)))
 
     @jax.jit
     def chained_step(c, data):
@@ -161,14 +167,15 @@ def main():
     float(c)  # hard sync
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
 
-    ips = iters / dt
+    ips = iters * nb / dt
     platform = jax.devices()[0].platform
     if args.cpu:
         print(f"# CPU baseline: {ips:.3f} images/sec "
-              f"({dt / iters * 1e3:.1f} ms/image) — pin this into "
+              f"({dt / (iters * nb) * 1e3:.1f} ms/image) — pin this into "
               f"CPU_BASELINE_IMAGES_PER_SEC", file=sys.stderr)
+    tag = net_tag if nb == 1 else f"{net_tag}_b{nb}"
     result = {
-        "metric": f"{net_tag}_frcnn_inference_images_per_sec_{platform}",
+        "metric": f"{tag}_frcnn_inference_images_per_sec_{platform}",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 3),

@@ -100,10 +100,8 @@ class ParallelEngine(Engine):
                             is_leaf=lambda x: isinstance(x, P))
 
     # ------------------------------------------------------------------ #
-    @partial(jax.jit, static_argnums=(0,))
-    def train_step_parallel(self, variables, opt_state, batch, key, lr, step):
-        """Combined train step, SPMD: grads pmean'd over data, head TP over
-        model, one replicated optimizer update."""
+    def _train_step_parallel_impl(self, variables, opt_state, batch, key,
+                                  lr, step):
         cfg = self.cfg
         var_specs = self.variable_specs(variables)
         p_specs = {"trunk": var_specs["trunk"]["params"],
@@ -151,14 +149,24 @@ class ParallelEngine(Engine):
             new_vars[part] = v
         return new_vars, opt_state, ls
 
-    # ------------------------------------------------------------------ #
     @partial(jax.jit, static_argnums=(0,))
-    def train_step_mil_parallel(self, variables, opt_state, batch, key, lr,
-                                step):
-        """Weak (MIL-only) step of the ALTERNATING regime, SPMD: each data
-        slot holds its own weak minibatch, grads pmean over data, head TP
-        over model.  Like Engine.train_step_mil, BN running stats are NOT
-        updated (train_bus.py:357-361 vs :391-394)."""
+    def train_step_parallel(self, variables, opt_state, batch, key, lr, step):
+        """Combined train step, SPMD: grads pmean'd over data, head TP over
+        model, one replicated optimizer update."""
+        return self._train_step_parallel_impl(variables, opt_state, batch,
+                                              key, lr, step)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def train_step_parallel_donated(self, variables, opt_state, batch, key,
+                                    lr, step):
+        """``train_step_parallel`` with donated (variables, opt_state)
+        buffers — the Solver hot-loop variant (inputs invalid after)."""
+        return self._train_step_parallel_impl(variables, opt_state, batch,
+                                              key, lr, step)
+
+    # ------------------------------------------------------------------ #
+    def _train_step_mil_parallel_impl(self, variables, opt_state, batch,
+                                      key, lr, step):
         var_specs = self.variable_specs(variables)
         p_specs = {"trunk": var_specs["trunk"]["params"],
                    "head": var_specs["head"]["params"]}
@@ -194,6 +202,24 @@ class ParallelEngine(Engine):
             v["params"] = params[part]
             new_vars[part] = v
         return new_vars, opt_state, mil
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step_mil_parallel(self, variables, opt_state, batch, key, lr,
+                                step):
+        """Weak (MIL-only) step of the ALTERNATING regime, SPMD: each data
+        slot holds its own weak minibatch, grads pmean over data, head TP
+        over model.  Like Engine.train_step_mil, BN running stats are NOT
+        updated (train_bus.py:357-361 vs :391-394)."""
+        return self._train_step_mil_parallel_impl(variables, opt_state,
+                                                  batch, key, lr, step)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def train_step_mil_parallel_donated(self, variables, opt_state, batch,
+                                        key, lr, step):
+        """``train_step_mil_parallel`` with donated (variables, opt_state)
+        buffers (inputs invalid after)."""
+        return self._train_step_mil_parallel_impl(variables, opt_state,
+                                                  batch, key, lr, step)
 
     # ------------------------------------------------------------------ #
     @partial(jax.jit, static_argnums=(0,))

@@ -254,9 +254,7 @@ class Engine:
         return StepLosses(total, rpn_cls, rpn_box, rcnn_cls, rcnn_box, mil)
 
     # ------------------------------------------------------------------ #
-    @partial(jax.jit, static_argnums=(0,))
-    def train_step(self, variables, opt_state, batch, key, lr, step):
-        """One combined SGD update (train_model, train_bus.py:595-764)."""
+    def _train_step_impl(self, variables, opt_state, batch, key, lr, step):
         cfg = self.cfg
 
         def loss_fn(params):
@@ -285,6 +283,22 @@ class Engine:
                 v["batch_stats"] = bs_updates[part]
             new_vars[part] = v
         return new_vars, opt_state, ls
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, variables, opt_state, batch, key, lr, step):
+        """One combined SGD update (train_model, train_bus.py:595-764)."""
+        return self._train_step_impl(variables, opt_state, batch, key, lr,
+                                     step)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def train_step_donated(self, variables, opt_state, batch, key, lr, step):
+        """``train_step`` with the (variables, opt_state) input buffers
+        DONATED: XLA writes the updated train state in place, aliasing
+        pass-through leaves (frozen conv1/2 params, BN stats) instead of
+        copying them.  The hot-loop variant used by Solver/bench — the
+        caller's input references are INVALID after the call."""
+        return self._train_step_impl(variables, opt_state, batch, key, lr,
+                                     step)
 
     # ------------------------------------------------------------------ #
     def _mil_loss(self, params, variables, batch, key, step):
@@ -321,12 +335,8 @@ class Engine:
         return L.mil_class_loss(bag_logits, bag_labels,
                                 cfg.TRAIN.WS_MAL_PCT, scale)
 
-    @partial(jax.jit, static_argnums=(0,))
-    def train_step_mil(self, variables, opt_state, batch, key, lr, step):
-        """One weakly-supervised SGD update for the ALTERNATING regime:
-        only the MIL bag loss is optimized (train_bus.py:298-301,368-394).
-        BN running stats are NOT updated (the reference's update ops only run
-        with the supervised step, train_bus.py:357-361 vs :391-394)."""
+    def _train_step_mil_impl(self, variables, opt_state, batch, key, lr,
+                             step):
         def loss_fn(params):
             return self._mil_loss(params, variables, batch, key, step)
 
@@ -342,6 +352,23 @@ class Engine:
             v["params"] = params[part]
             new_vars[part] = v
         return new_vars, opt_state, mil
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step_mil(self, variables, opt_state, batch, key, lr, step):
+        """One weakly-supervised SGD update for the ALTERNATING regime:
+        only the MIL bag loss is optimized (train_bus.py:298-301,368-394).
+        BN running stats are NOT updated (the reference's update ops only run
+        with the supervised step, train_bus.py:357-361 vs :391-394)."""
+        return self._train_step_mil_impl(variables, opt_state, batch, key,
+                                         lr, step)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def train_step_mil_donated(self, variables, opt_state, batch, key, lr,
+                               step):
+        """``train_step_mil`` with donated (variables, opt_state) input
+        buffers (see ``train_step_donated``)."""
+        return self._train_step_mil_impl(variables, opt_state, batch, key,
+                                         lr, step)
 
     # ------------------------------------------------------------------ #
     def _eval_impl(self, variables, batch, key, step):

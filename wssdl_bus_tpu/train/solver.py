@@ -170,8 +170,12 @@ class Solver:
 
     @property
     def _train_step(self):
-        return (self.eng.train_step_parallel if self.mesh is not None
-                else self.eng.train_step)
+        # donated variants: the solver reassigns self.variables/opt_state
+        # from the outputs every step, so in-place buffer reuse is safe and
+        # saves the copy of every pass-through leaf (frozen params, BN
+        # stats, adam moments of masked-out params)
+        return (self.eng.train_step_parallel_donated
+                if self.mesh is not None else self.eng.train_step_donated)
 
     def _maybe_trace(self, it: int):
         """DEBUG_TIMELINE analog (reference dumps Chrome traces per step,
@@ -439,8 +443,9 @@ class Solver:
             else:
                 eng_ws = Engine(self.eng.model, cfg, self.eng.canvas_hw, **kw)
             eng_ws.tx = self.eng.tx
-        mil_step = (eng_ws.train_step_mil_parallel if self.mesh is not None
-                    else eng_ws.train_step_mil)
+        mil_step = (eng_ws.train_step_mil_parallel_donated
+                    if self.mesh is not None
+                    else eng_ws.train_step_mil_donated)
         params = {"trunk": self.variables["trunk"]["params"],
                   "head": self.variables["head"]["params"]}
         opt_state_ws = self.eng.tx.init(params)

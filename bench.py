@@ -2,16 +2,31 @@
 default accelerator (one TPU chip under the driver).
 
 Matches the reference's inference configuration (test_bus.py im_detect:
-single image, shortest side 600, TEST proposal budgets 6000 pre-NMS / 300
-post-NMS, NMS 0.7 — reference config.py:231,257-265) so images/sec is
-apples-to-apples with the reference's per-image ``im_detect`` loop
+shortest side 600, TEST proposal budgets 6000 pre-NMS / 300 post-NMS, NMS
+0.7 — reference config.py:231,257-265).  The default is the BATCHED serving
+path (8 images per device step, ``evaluate/detect.py:im_detect_batch``) —
+the configuration a TPU deployment actually serves with; ``--batch 1``
+reproduces the reference's strictly per-image ``im_detect`` loop
 (test_bus.py:404-406).
 
 Baseline: the reference publishes no numbers (BASELINE.md).  The recorded
-baseline below is OUR measured CPU throughput of the same jitted pipeline on
-this host (the "CPU-reference images/sec" of BASELINE.json) — measured with
-``python bench.py --cpu`` and pinned here so the TPU run reports a stable
-ratio.  Target from BASELINE.json: vs_baseline >= 10.
+baselines below are OUR measured CPU throughput of the same jitted pipeline
+on this host at the same batch size (single-image 0.18 img/s, batch-8 0.17
+— batching does not help the compute-bound CPU), pinned so TPU runs report
+a stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
+
+Measured v5e numbers (canvas 608x800): single-image 206 img/s, batch-8
+258 img/s, batch-16 271 img/s; bf16 compute is throughput-neutral at every
+batch size because XLA already lowers f32 convs to single-pass bf16 MXU
+ops under the default precision.  Combined train step (1 supervised + 2
+weak images): 20.7 it/s f32, 21.3 it/s bf16, with donated train state.
+Train-step roofline (from tools/profile_train.py): trunk forward 10.2 ms
+at ~45% MXU (conv-schedule-limited), detection ops 15.5 ms (Pallas ROI
+pool 5.8 for ~4.1k ROIs, NMS 2.2, target layers ~2, heads 0.7, glue ~4),
+backward+optimizer ~23 ms ~= 2.25x the forward — within ~13% of the 2x-
+FLOPs conv-limited bound; buffer donation recovers ~0.7 ms and bf16 ~1.3
+ms.  The remaining gap to <40 ms/iter is conv MXU efficiency inside XLA's
+schedule, not framework overhead.
 """
 
 import argparse
@@ -20,9 +35,10 @@ import os
 import sys
 import time
 
-# Measured on this host with `python bench.py --cpu` (single process,
-# default threading): jitted full-pipeline inference, canvas 608x800.
-CPU_BASELINE_IMAGES_PER_SEC = 0.18
+# Measured on this host with `python bench.py --cpu [--batch 8]` (single
+# process, default threading): jitted full-pipeline inference, 608x800.
+CPU_BASELINE_IMAGES_PER_SEC = 0.18       # --batch 1
+CPU_BASELINE_IMAGES_PER_SEC_BATCHED = 0.17  # --batch >= 2
 
 
 def main():
@@ -33,9 +49,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
-    ap.add_argument("--batch", type=int, default=1,
+    ap.add_argument("--batch", type=int, default=8,
                     help="images per inference step (the batched serving "
-                         "path, evaluate/detect.py:im_detect_batch)")
+                         "path, evaluate/detect.py:im_detect_batch); "
+                         "--batch 1 = the reference's per-image loop")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the combined TRAIN step instead "
                          "(1 supervised + 2 weak images, full budgets)")
@@ -172,13 +189,15 @@ def main():
     if args.cpu:
         print(f"# CPU baseline: {ips:.3f} images/sec "
               f"({dt / (iters * nb) * 1e3:.1f} ms/image) — pin this into "
-              f"CPU_BASELINE_IMAGES_PER_SEC", file=sys.stderr)
+              f"CPU_BASELINE_IMAGES_PER_SEC[_BATCHED]", file=sys.stderr)
     tag = net_tag if nb == 1 else f"{net_tag}_b{nb}"
+    baseline = (CPU_BASELINE_IMAGES_PER_SEC if nb == 1
+                else CPU_BASELINE_IMAGES_PER_SEC_BATCHED)
     result = {
         "metric": f"{tag}_frcnn_inference_images_per_sec_{platform}",
         "value": round(ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(ips / baseline, 3),
     }
     print(json.dumps(result))
 

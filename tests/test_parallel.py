@@ -255,6 +255,32 @@ def test_inference_parallel_matches_single_device(setup):
                                    np.asarray(bb_i), atol=1e-4)
 
 
+def test_eval_step_sharded_dp(setup):
+    """On a pure-DP mesh an eval batch that divides the data axis is
+    sharded (one image per slot here): per-image losses come back [B] and
+    detection outputs keep the global batch layout."""
+    cfg, model = setup
+    mesh = make_mesh(n_data=2, n_model=1)
+    eng = ParallelEngine(model, cfg, CANVAS, mesh)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(23)
+    gb = global_batch(rng, 2, n_s=1, n_ws=0)  # 2 supervised images
+
+    ls, rois, cls_prob, bbox_pred, labels = eng.eval_step(
+        variables, gb, jax.random.PRNGKey(5), jnp.int32(0))
+    r = cfg.TRAIN.BATCH_SIZE
+    assert np.asarray(ls.total).shape == (2,)
+    assert rois.shape == (2 * r, 5)
+    assert labels.shape == (2 * r,)
+    for x in np.asarray(ls.total):
+        assert np.isfinite(x)
+    # an odd batch falls back to the replicated path and still works
+    gb1 = {k: v[:1] for k, v in gb.items()}
+    ls1, *_ = eng.eval_step(variables, gb1, jax.random.PRNGKey(5),
+                            jnp.int32(0))
+    assert np.asarray(ls1.total).shape == (1,)
+
+
 def test_tp_head_backward_matches_flax(setup):
     """Gradients through the TP head (incl. the psum-backward f-operator)
     equal the single-device flax head's for both the params and the shared

@@ -118,13 +118,49 @@ def test_froc_sweep_matches_per_threshold_calls():
                 rows.append([x1, y1, x1 + 30, y1 + 30, rng.rand()])
         dets[name] = np.array(rows, np.float32).reshape(-1, 5)
 
+    def corloc_oracle(thr):
+        """Independent CorLoc re-implementation straight from the reference
+        loop (voc_eval_bus.py:160-206): per GT-containing image, select the
+        ROUNDED detections with score >= thr and test each GT for an
+        IoU > 0.5 overlap.  Deliberately shares no code with _ClassEval."""
+        ni = nok = 0
+        for name in imagenames:
+            BBGT = np.asarray(gts[name][0], float)
+            if BBGT.shape[0] == 0:
+                continue
+            ni += 1
+            rows = np.asarray(dets[name], float).reshape(-1, 5)
+            sel = [r for r in rows if -float(f"{r[4]:.3f}") <= -thr]
+            bok = False
+            for r in sel:
+                bb = [float(f"{r[0] + 1:.1f}"), float(f"{r[1] + 1:.1f}"),
+                      float(f"{r[2] + 1:.1f}"), float(f"{r[3] + 1:.1f}")]
+                for g in BBGT:
+                    ix = max(0.0, min(bb[2], g[2]) - max(bb[0], g[0]) + 1)
+                    iy = max(0.0, min(bb[3], g[3]) - max(bb[1], g[1]) + 1)
+                    inter = ix * iy
+                    uni = ((bb[2] - bb[0] + 1) * (bb[3] - bb[1] + 1)
+                           + (g[2] - g[0] + 1) * (g[3] - g[1] + 1) - inter)
+                    if inter / uni > 0.5:
+                        bok = True
+            if bok:
+                nok += 1
+        return ni, nok
+
     thresholds = list(np.arange(1.0, -0.01, -0.05))
     fast = froc_sweep(dets, gts, imagenames, thresholds)
+    any_dets = any(len(dets[n]) for n in imagenames)
     for t, thr in enumerate(thresholds):
         _, _, _, ni, nok, _, num_fps, _ = voc_eval_class(
             dets, gts, imagenames, score_thresh=thr)
         slow_pt = (float(num_fps) / max(ni, 1), float(nok) / max(ni, 1))
         assert fast[t] == slow_pt, (thr, fast[t], slow_pt)
+        # cross-check CorLoc against the independent oracle (voc_eval_class
+        # and froc_sweep share _ClassEval.corloc, so agreement between them
+        # alone would not catch a shared bug)
+        if any_dets:
+            o_ni, o_nok = corloc_oracle(thr)
+            assert (ni, nok) == (o_ni, o_nok), (thr, ni, nok, o_ni, o_nok)
 
     # degenerate: no detections anywhere -> the reference's ni=0 early
     # return makes every point (0, 0)

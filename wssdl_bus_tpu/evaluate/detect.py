@@ -134,7 +134,9 @@ def _decode_one(eng, im_shape, im_scale, rois, valid, cls_prob, bbox_pred):
         pred = np.asarray(bbox_transform_inv(boxes, bbox_pred))
         pred = np.asarray(clip_boxes(pred.reshape(-1, 4),
                                      im_shape[0], im_shape[1]))
-        pred_boxes = pred.reshape(len(boxes), -1)
+        # explicit column count: reshape(n, -1) raises when every proposal
+        # slot is masked invalid (n == 0)
+        pred_boxes = pred.reshape(len(boxes), bbox_pred.shape[1])
     else:
         pred_boxes = np.tile(boxes, (1, cls_prob.shape[1]))
     return cls_prob, pred_boxes

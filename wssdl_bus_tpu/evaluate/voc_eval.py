@@ -92,9 +92,12 @@ class _ClassEval:
         self.gt = {n: (np.array(gt_per_image[n][0], float),
                        np.asarray(gt_per_image[n][1], bool))
                    for n in imagenames}
-        # GT-containing image count; the reference reports ni=0 when there
-        # are no detections at all (early return, voc_eval_bus.py:150-158)
-        self.ni = sum(1 for n in imagenames if self.gt[n][0].shape[0] > 0)
+        # GT-containing images in name order (their ordinal indexes arr_ok);
+        # note the reference reports ni=0 when there are no detections at
+        # all (early return, voc_eval_bus.py:150-158)
+        self._gt_images = [n for n in imagenames
+                           if self.gt[n][0].shape[0] > 0]
+        self.ni = len(self._gt_images)
         if not self.nd:
             return
 
@@ -139,17 +142,14 @@ class _ClassEval:
     # ---------------------------------------------------------------- #
     def corloc(self, score_thresh):
         """(ni, nok, arr_ok) — voc_eval_bus.py:160-206."""
-        ni = nok = 0
+        nok = 0
         arr_ok = np.zeros((max(200, len(self.imagenames)),))
-        for name in self.imagenames:
-            if self.gt[name][0].shape[0] == 0:
-                continue
-            ni += 1
+        for i, name in enumerate(self._gt_images):
             best = self._best_ok_neg.get(name)
             if best is not None and best <= -score_thresh:
-                arr_ok[ni - 1] = True
+                arr_ok[i] = True
                 nok += 1
-        return ni, nok, arr_ok
+        return self.ni, nok, arr_ok
 
     def froc_fps(self, score_thresh):
         """Count of detections with score >= thresh and max-IoU <= ovthresh
@@ -180,8 +180,12 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
     Returns the reference's 8-tuple
       (rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img).
     """
-    pre = _pre or _ClassEval(dets_per_image, gt_per_image, imagenames,
-                             ovthresh)
+    if _pre is not None:
+        assert _pre.ovthresh == ovthresh, \
+            "shared _ClassEval was built with a different ovthresh"
+        pre = _pre
+    else:
+        pre = _ClassEval(dets_per_image, gt_per_image, imagenames, ovthresh)
     if not pre.nd:
         return -1, -1, -1, 0, 0, np.zeros((200,)), 0, [0] * len(imagenames)
 
@@ -231,12 +235,17 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
 
 
 def froc_sweep(dets_per_image, gt_per_image, imagenames, thresholds,
-               ovthresh=0.5):
+               ovthresh=0.5, _pre: _ClassEval = None):
     """FROC curve points for one class over all ``thresholds`` in ONE pass:
     -> list of (num_all_fps / max(ni,1), nok / max(ni,1)) matching what 21
     separate ``voc_eval_class`` calls produce (bus.py:366-390), without
     re-sorting / re-rounding / re-computing IoUs per threshold."""
-    pre = _ClassEval(dets_per_image, gt_per_image, imagenames, ovthresh)
+    if _pre is not None:
+        assert _pre.ovthresh == ovthresh, \
+            "shared _ClassEval was built with a different ovthresh"
+        pre = _pre
+    else:
+        pre = _ClassEval(dets_per_image, gt_per_image, imagenames, ovthresh)
     pts = []
     for thr in thresholds:
         if not pre.nd:
@@ -323,6 +332,14 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
     gt_cache = {cls: _gt_for_class(imdb, cls)
                 for cls in imdb.classes if cls != "__background__"}
 
+    # one _ClassEval per class, shared by the AP/CorLoc evaluation AND the
+    # FROC sweep below (the expensive flatten/round/sort/IoU precompute
+    # runs exactly once per class)
+    pre_cache = {cls: _ClassEval(dets_for_class(ci), gt_cache[cls],
+                                 imagenames)
+                 for ci, cls in enumerate(imdb.classes)
+                 if cls != "__background__"}
+
     aps, nis, noks, corloc_list = [], [], [], []
     all_arr_ok = np.zeros((0,))
     for ci, cls in enumerate(imdb.classes):
@@ -330,7 +347,7 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
             continue
         rec, prec, ap, ni, nok, arr_ok, _, _ = voc_eval_class(
             dets_for_class(ci), gt_cache[cls], imagenames,
-            score_thresh=0.5)
+            score_thresh=0.5, _pre=pre_cache[cls])
         aps.append(ap)
         nis.append(ni)
         noks.append(nok)
@@ -354,7 +371,8 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
         if cls == "__background__":
             continue
         curve_pts[ci] = froc_sweep(dets_for_class(ci), gt_cache[cls],
-                                   imagenames, thresholds)
+                                   imagenames, thresholds,
+                                   _pre=pre_cache[cls])
     for i in range(len(curve_pts[1])):
         curve_pts[0].append(((curve_pts[1][i][0] + curve_pts[2][i][0]) / 2,
                              (curve_pts[1][i][1] + curve_pts[2][i][1]) / 2))

@@ -37,7 +37,6 @@ def main():
     from wssdl_bus_tpu.evaluate.detect import test_net
     from wssdl_bus_tpu.models.detector import build_detector
     from wssdl_bus_tpu.train.checkpoint import load_checkpoint
-    from wssdl_bus_tpu.train.engine import Engine
 
     imdb = get_imdb(args.imdb_test, args.data_dir)
     roidb = prepare_roidb(imdb)
@@ -52,17 +51,14 @@ def main():
                            gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                       cfg.TRAIN.GN_MIN_CHS_PER_G))
     batch_size = args.batch_size
-    if args.mesh_data * args.mesh_model > 1:
-        from wssdl_bus_tpu.parallel import ParallelEngine, make_mesh
-        mesh = make_mesh(n_data=args.mesh_data, n_model=args.mesh_model)
-        eng = ParallelEngine(model, cfg, canvas, mesh, dataset=args.dataset)
-        if batch_size % args.mesh_data:
-            batch_size = args.mesh_data * (
-                (batch_size + args.mesh_data - 1) // args.mesh_data)
-            print(f"batch_size rounded up to {batch_size} "
-                  f"(a multiple of mesh_data={args.mesh_data})")
-    else:
-        eng = Engine(model, cfg, canvas, dataset=args.dataset)
+    from wssdl_bus_tpu.parallel import build_engine
+    eng = build_engine(model, cfg, canvas, args.mesh_data, args.mesh_model,
+                       dataset=args.dataset)
+    if args.mesh_data > 1 and batch_size % args.mesh_data:
+        batch_size = args.mesh_data * (
+            (batch_size + args.mesh_data - 1) // args.mesh_data)
+        print(f"batch_size rounded up to {batch_size} "
+              f"(a multiple of mesh_data={args.mesh_data})")
     variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
     variables, step = load_checkpoint(args.model, variables)
     print(f"restored snapshot at iter {step} from {args.model}")

@@ -252,11 +252,20 @@ class ParallelEngine(Engine):
                 f"{n_data}; required with a tensor-parallel head")
         return super().inference_step(variables, data, im_info)
 
-    @partial(jax.jit, static_argnums=(0,))
     def eval_step(self, variables, batch, key, step=0):
-        """In-training eval on a mesh: the batch is replicated (periodic
-        eval is per-image, train_bus.py:792-892) and the pipeline runs under
-        shard_map so the TP head's collectives have their axis in scope."""
+        """In-training eval on a mesh.  When the eval batch divides the
+        data axis (and the head is not TP, whose collectives need the full
+        mesh in scope on a replicated batch), images are SHARDED over the
+        data slots — n_data images per dispatch for the cost of one;
+        otherwise the batch is replicated and every slot computes it."""
+        n_data = self.mesh.shape.get("data", 1)
+        if (not self.tp and n_data > 1
+                and batch["data"].shape[0] % n_data == 0):
+            return self._eval_step_sharded(variables, batch, key, step)
+        return self._eval_step_replicated(variables, batch, key, step)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _eval_step_replicated(self, variables, batch, key, step=0):
         var_specs = self.variable_specs(variables)
 
         def per_slot(variables, batch, key, step):
@@ -266,6 +275,20 @@ class ParallelEngine(Engine):
             per_slot, self.mesh,
             in_specs=(var_specs, P(), P(), P()),
             out_specs=(P(), P(), P(), P(), P()),
+        )(variables, batch, key, step)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _eval_step_sharded(self, variables, batch, key, step=0):
+        var_specs = self.variable_specs(variables)
+
+        def per_slot(variables, batch, key, step):
+            return self._eval_impl(variables, batch, key, step)
+
+        return _shard_map(
+            per_slot, self.mesh,
+            in_specs=(var_specs, P("data"), P(), P()),
+            out_specs=(P("data"), P("data"), P("data"), P("data"),
+                       P("data")),
         )(variables, batch, key, step)
 
     # ------------------------------------------------------------------ #

@@ -306,9 +306,12 @@ class Solver:
                 bbox_pred = bbox_pred_b[k][filled]
                 boxes = rois[:, 1:5] / scale
                 bp = unnormalize_bbox_pred(bbox_pred, cfg)
+                # explicit column count: reshape(0, -1) raises on images
+                # where the sampler filled no slot (e.g. zero-GT normals)
                 pred = np.asarray(clip_boxes(
                     np.asarray(bbox_transform_inv(boxes, bp))
-                    .reshape(-1, 4), im_h, im_w)).reshape(len(boxes), -1)
+                    .reshape(-1, 4), im_h, im_w)).reshape(len(boxes),
+                                                          bp.shape[1])
                 per_class = apply_nms_per_class(
                     cls_prob, pred, num_classes, 0.05, cfg.TEST.NMS,
                     cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
@@ -580,14 +583,10 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
     model = build_detector(network, net_depth, norm_type, num_classes=3,
                            gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                       cfg.TRAIN.GN_MIN_CHS_PER_G))
-    ekw = dict(num_ws=num_ws, dataset=dataset, opt_name=opt,
-               selector_pair=selector_pair)
-    if mesh_data * mesh_model > 1:
-        from wssdl_bus_tpu.parallel import ParallelEngine, make_mesh
-        mesh = make_mesh(n_data=mesh_data, n_model=mesh_model)
-        eng = ParallelEngine(model, cfg, canvas_hw, mesh, **ekw)
-    else:
-        eng = Engine(model, cfg, canvas_hw, **ekw)
+    from wssdl_bus_tpu.parallel import build_engine
+    eng = build_engine(model, cfg, canvas_hw, mesh_data, mesh_model,
+                       num_ws=num_ws, dataset=dataset, opt_name=opt,
+                       selector_pair=selector_pair)
     return Solver(eng, cfg, network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, lr_scheduling=lr_scheduling,
                   max_iters=max_iters, pretrained=pretrained_model,

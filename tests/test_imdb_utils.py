@@ -85,6 +85,55 @@ def test_solver_resume(tmp_path):
     assert any("_iter_3" in d for d in os.listdir(tmp_path))
 
 
+def test_solver_resume_across_topologies(tmp_path):
+    """Snapshots are host-fetched before orbax, so a run trained on a
+    (2,1) mesh resumes on a single-device Engine and vice versa."""
+    import jax
+
+    from wssdl_bus_tpu.config import Config
+    from wssdl_bus_tpu.data.augment import max_canvas
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.parallel import build_engine
+    from wssdl_bus_tpu.train.solver import Solver
+
+    cfg = Config().with_overrides([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
+        "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
+        "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
+        "TRAIN.DISPLAY", "1000",
+    ])
+    imdb = get_imdb("bus_test", DATA)
+    roidb = prepare_roidb(imdb)
+    canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
+
+    def mk(mesh_data, max_iters, resume):
+        eng = build_engine(build_detector("VGGnet_train"), cfg, canvas,
+                           mesh_data, 1)
+        return Solver(eng, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                      str(tmp_path), max_iters=max_iters,
+                      use_prefetch=False, resume=resume)
+
+    # train on the mesh, snapshot at iter 2
+    mk(2, 2, False).train_combined()
+    assert any("_iter_2" in d for d in os.listdir(tmp_path))
+
+    # resume that snapshot single-device
+    s2 = mk(1, 3, True)
+    assert s2.start_iter == 2
+    s2.train_combined()
+    assert any("_iter_3" in d for d in os.listdir(tmp_path))
+
+    # and resume the single-device snapshot back onto the mesh
+    s3 = mk(2, 4, True)
+    assert s3.start_iter == 3
+    s3.train_combined()
+    assert any("_iter_4" in d for d in os.listdir(tmp_path))
+
+
 def test_get_test_roidb_and_data_layer_factory():
     """Function-level API parity: get_test_roidb (test_bus.py:416) and
     get_data_layer (train_bus.py:1037)."""

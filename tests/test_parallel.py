@@ -244,8 +244,8 @@ def test_inference_parallel_matches_single_device(setup):
         r_i, v_i, cs_i, cp_i, bb_i = seng.inference_step(
             variables, gb["data"][i:i + 1], gb["im_info"][i:i + 1])
         sl = slice(i * p, (i + 1) * p)
-        # col 0 (batch index) is slot-local in the parallel output; compare
-        # the geometry columns only
+        # col 0 carries the GLOBAL image index (rewritten after shard_map)
+        np.testing.assert_array_equal(np.asarray(rois)[sl, 0], i)
         np.testing.assert_allclose(np.asarray(rois)[sl, 1:],
                                    np.asarray(r_i)[:, 1:], atol=1e-4)
         np.testing.assert_array_equal(np.asarray(valid)[sl], np.asarray(v_i))

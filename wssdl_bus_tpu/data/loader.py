@@ -173,15 +173,18 @@ class Prefetcher:
 
 
 def get_data_layer(roidbs, net_name, cfg, canvas_hw, is_training,
-                   is_ws=False, is_joint=False, rng=None):
+                   is_ws=False, is_joint=False, rng=None, slots=1):
     """Data-layer factory (reference ``get_data_layer``,
     train_bus.py:1037-1053): joint -> RoIDataLayerJoint over (roidb_s,
-    roidb_ws); otherwise a single RoIDataLayer."""
+    roidb_ws); otherwise a single RoIDataLayer.  ``slots`` > 1 assembles
+    per-mesh-slot global batches (see the layer docstrings)."""
     if is_joint:
         return RoIDataLayerJoint(roidbs[0], roidbs[1], net_name, cfg,
-                                 canvas_hw, is_training=is_training, rng=rng)
+                                 canvas_hw, is_training=is_training, rng=rng,
+                                 slots=slots)
     return RoIDataLayer(roidbs, net_name, cfg, canvas_hw,
-                        is_training=is_training, is_ws=is_ws, rng=rng)
+                        is_training=is_training, is_ws=is_ws, rng=rng,
+                        slots=slots)
 
 
 def prefetch_iter(gen, depth: int = 2):

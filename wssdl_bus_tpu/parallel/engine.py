@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
@@ -231,11 +232,19 @@ class ParallelEngine(Engine):
         def per_slot(variables, data, im_info):
             return self._inference_impl(variables, data, im_info)
 
-        return _shard_map(
+        rois, valid, cls_score, cls_prob, bbox_pred = _shard_map(
             per_slot, self.mesh,
             in_specs=(var_specs, P("data"), P("data")),
             out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
         )(variables, data, im_info)
+        # per_slot numbers its rois5 batch column locally; rewrite it with
+        # the GLOBAL image index so the output is indistinguishable from the
+        # single-device batched step's
+        n = data.shape[0]
+        p = rois.shape[0] // n
+        gidx = jnp.repeat(jnp.arange(n, dtype=rois.dtype), p)
+        rois = rois.at[:, 0].set(gidx)
+        return rois, valid, cls_score, cls_prob, bbox_pred
 
     # ------------------------------------------------------------------ #
     def inference_step(self, variables, data, im_info):

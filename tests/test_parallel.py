@@ -272,6 +272,9 @@ def test_eval_step_sharded_dp(setup):
     assert np.asarray(ls.total).shape == (2,)
     assert rois.shape == (2 * r, 5)
     assert labels.shape == (2 * r,)
+    # rois carry GLOBAL image indices (rewritten after the shard_map)
+    np.testing.assert_array_equal(
+        np.asarray(rois)[:, 0], np.repeat([0.0, 1.0], r))
     for x in np.asarray(ls.total):
         assert np.isfinite(x)
     # an odd batch falls back to the replicated path and still works

@@ -181,8 +181,11 @@ def voc_eval_class(dets_per_image: dict, gt_per_image: dict, imagenames,
       (rec, prec, ap, ni, nok, arr_ok, num_all_fps, num_fp_per_img).
     """
     if _pre is not None:
-        assert _pre.ovthresh == ovthresh, \
-            "shared _ClassEval was built with a different ovthresh"
+        # a _pre built with a different ovthresh would silently mix IoU
+        # verdicts; dets/gt args are unused in this mode (pass None)
+        if _pre.ovthresh != ovthresh:
+            raise ValueError("shared _ClassEval was built with a different "
+                             f"ovthresh ({_pre.ovthresh} != {ovthresh})")
         pre = _pre
     else:
         pre = _ClassEval(dets_per_image, gt_per_image, imagenames, ovthresh)
@@ -241,8 +244,9 @@ def froc_sweep(dets_per_image, gt_per_image, imagenames, thresholds,
     separate ``voc_eval_class`` calls produce (bus.py:366-390), without
     re-sorting / re-rounding / re-computing IoUs per threshold."""
     if _pre is not None:
-        assert _pre.ovthresh == ovthresh, \
-            "shared _ClassEval was built with a different ovthresh"
+        if _pre.ovthresh != ovthresh:
+            raise ValueError("shared _ClassEval was built with a different "
+                             f"ovthresh ({_pre.ovthresh} != {ovthresh})")
         pre = _pre
     else:
         pre = _ClassEval(dets_per_image, gt_per_image, imagenames, ovthresh)
@@ -346,8 +350,7 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
         if cls == "__background__":
             continue
         rec, prec, ap, ni, nok, arr_ok, _, _ = voc_eval_class(
-            dets_for_class(ci), gt_cache[cls], imagenames,
-            score_thresh=0.5, _pre=pre_cache[cls])
+            None, None, imagenames, score_thresh=0.5, _pre=pre_cache[cls])
         aps.append(ap)
         nis.append(ni)
         noks.append(nok)
@@ -370,8 +373,7 @@ def evaluate_bus_detections(imdb, all_boxes, output_dir):
     for ci, cls in enumerate(imdb.classes):
         if cls == "__background__":
             continue
-        curve_pts[ci] = froc_sweep(dets_for_class(ci), gt_cache[cls],
-                                   imagenames, thresholds,
+        curve_pts[ci] = froc_sweep(None, None, imagenames, thresholds,
                                    _pre=pre_cache[cls])
     for i in range(len(curve_pts[1])):
         curve_pts[0].append(((curve_pts[1][i][0] + curve_pts[2][i][0]) / 2,

@@ -291,14 +291,25 @@ class ParallelEngine(Engine):
         var_specs = self.variable_specs(variables)
 
         def per_slot(variables, batch, key, step):
+            # per-slot key stream, like the train steps: without the fold
+            # every slot would draw the SAME anchor/ROI sampling subkeys
+            # for its local image indices
+            key = self._fold_slot_key(key)
             return self._eval_impl(variables, batch, key, step)
 
-        return _shard_map(
+        ls, rois, cls_prob, bbox_pred, labels = _shard_map(
             per_slot, self.mesh,
             in_specs=(var_specs, P("data"), P(), P()),
             out_specs=(P("data"), P("data"), P("data"), P("data"),
                        P("data")),
         )(variables, batch, key, step)
+        # slot-local rois batch indices -> global image indices (same
+        # post-pass as inference_step_parallel)
+        n = batch["data"].shape[0]
+        p = rois.shape[0] // n
+        rois = rois.at[:, 0].set(
+            jnp.repeat(jnp.arange(n, dtype=rois.dtype), p))
+        return ls, rois, cls_prob, bbox_pred, labels
 
     # ------------------------------------------------------------------ #
     def shard_batch(self, batch):

@@ -15,8 +15,10 @@ on this host at the same batch size (single-image 0.18 img/s, batch-8 0.17
 — batching does not help the compute-bound CPU), pinned so TPU runs report
 a stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
 
-Measured v5e numbers (canvas 608x800): single-image 206 img/s, batch-8
-258 img/s, batch-16 271 img/s; bf16 compute is throughput-neutral at every
+Measured v5e numbers (canvas 608x800): VGG16 single-image 206 img/s,
+batch-8 258, batch-16 271; ResNet-50 single 249 / batch-8 242 (per-ROI
+conv head dominates); ResNet-18 single 234 / batch-8 559 (light trunk is
+dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
 batch size because XLA already lowers f32 convs to single-pass bf16 MXU
 ops under the default precision.  Combined train step (1 supervised + 2
 weak images): 20.7 it/s f32, 21.3 it/s bf16, with donated train state.

@@ -170,11 +170,11 @@ def pack_image_batch(eng, images, net_name, canvas_hw):
     return blob, infos, scales
 
 
-def _im_detect_packed(eng, variables, images, blob, infos, scales):
-    """Device step + per-image decode over an already-packed batch blob."""
-    n = blob.shape[0]
-    rois, valid, cls_score, cls_prob, bbox_pred = eng.inference_step(
-        variables, blob, infos)
+def _decode_packed(eng, images, scales, outs):
+    """Fetch one packed batch's device outputs (BLOCKS on the device) and
+    decode per image."""
+    n = len(images)
+    rois, valid, cls_score, cls_prob, bbox_pred = outs
     p = eng.cfg.TEST.RPN_POST_NMS_TOP_N
     rois = np.asarray(rois).reshape(n, p, 5)
     valid = np.asarray(valid).reshape(n, p)
@@ -182,6 +182,12 @@ def _im_detect_packed(eng, variables, images, blob, infos, scales):
     bbox_pred = np.asarray(bbox_pred).reshape(n, p, -1)
     return [_decode_one(eng, images[i].shape, scales[i], rois[i], valid[i],
                         cls_prob[i], bbox_pred[i]) for i in range(n)]
+
+
+def _im_detect_packed(eng, variables, images, blob, infos, scales):
+    """Device step + per-image decode over an already-packed batch blob."""
+    outs = eng.inference_step(variables, blob, infos)
+    return _decode_packed(eng, images, scales, outs)
 
 
 def im_detect_batch(eng, variables, images, net_name: str, canvas_hw):
@@ -265,18 +271,40 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
                     yield (start, idxs, ims, padded) + pack_image_batch(
                         eng, padded, net_name, canvas_hw)
 
-            for start, idxs, ims, padded, blob, infos, scales \
-                    in prefetch_iter(host_batches()):
+            def emit(pend):
+                """Fetch + decode + yield one dispatched batch."""
+                idxs, ims, padded, scales, outs = pend
                 t_det.tic()
-                with trace if start == trace_start \
-                        else contextlib.nullcontext():
-                    # padded (length == compiled batch) carries the shapes
-                    # for decode; only the idxs prefix is real
-                    results = _im_detect_packed(eng, variables, padded, blob,
-                                                infos, scales)
+                # padded (length == compiled batch) carries the shapes for
+                # decode; only the idxs prefix is real
+                results = _decode_packed(eng, padded, scales, outs)
                 t_det.toc()
                 for k, i in enumerate(idxs):
                     yield (i, ims[k]) + results[k]
+
+            # double-buffered dispatch: batch k+1 is dispatched to the
+            # device BEFORE batch k's results are fetched/post-processed,
+            # so the per-image NMS below overlaps the next device step
+            # (jax dispatch is async; only the np.asarray fetch blocks)
+            pending = None
+            for start, idxs, ims, padded, blob, infos, scales \
+                    in prefetch_iter(host_batches()):
+                if start == trace_start:
+                    # the traced batch runs unpipelined so the profiler
+                    # window covers its device execution
+                    if pending is not None:
+                        yield from emit(pending)
+                        pending = None
+                    with trace:
+                        outs = eng.inference_step(variables, blob, infos)
+                        yield from emit((idxs, ims, padded, scales, outs))
+                    continue
+                outs = eng.inference_step(variables, blob, infos)
+                if pending is not None:
+                    yield from emit(pending)
+                pending = (idxs, ims, padded, scales, outs)
+            if pending is not None:
+                yield from emit(pending)
         else:
             def host_images():
                 for i in range(num_images):

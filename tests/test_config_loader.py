@@ -70,30 +70,30 @@ def test_augment_vgg_vs_resnet_scaling(rng):
 
 def test_loader_slots_layout(monkeypatch):
     """slots>1 stacks per-slot minibatches contiguously along axis 0 —
-    the global-batch layout parallel.engine shards over the data axis."""
+    the global-batch layout parallel.engine shards over the data axis —
+    with the assembly fanned out to a worker pool (order preserved)."""
+    from wssdl_bus_tpu.config import Config
     from wssdl_bus_tpu.data import loader as ld
 
-    calls = [0]
+    def fake_minibatch(batch, net_name, cfg, canvas_hw, is_training, is_ws,
+                       rng):
+        assert rng is not None  # each slot gets a private RandomState
+        return {"data": np.full((len(batch), 4), batch[0]["id"], np.float32)}
 
-    def fake(self):
-        calls[0] += 1
-        return {"data": np.full((2, 4), calls[0], np.float32),
-                "num_gt_boxes": np.array([calls[0], calls[0]])}
-
-    monkeypatch.setattr(ld.RoIDataLayer, "_forward_one", fake)
-    layer = ld.RoIDataLayer.__new__(ld.RoIDataLayer)
-    layer.slots = 3
+    monkeypatch.setattr(ld, "get_minibatch", fake_minibatch)
+    cfg = Config()
+    roidb = [{"id": i} for i in range(6)]
+    # unshuffled test-mode cursor (1 image/slot) -> slot s draws entry s
+    layer = ld.RoIDataLayer(roidb, "VGGnet_train", cfg, (64, 64),
+                            is_training=False, slots=3)
     out = layer.forward()
-    assert out["data"].shape == (6, 4)
-    assert out["num_gt_boxes"].shape == (6,)
-    # slot i occupies rows [i*2, (i+1)*2) and was drawn in slot order
-    for i in range(3):
-        assert (out["data"][2 * i:2 * i + 2] == i + 1).all()
-    # slots=1 must not copy (fast path returns the single dict unchanged)
-    calls[0] = 0
-    layer.slots = 1
-    out1 = layer.forward()
-    assert (out1["data"] == 1).all()
+    assert out["data"].shape == (3, 4)
+    for s in range(3):  # slot s occupies row s, in cursor-draw order
+        assert (out["data"][s] == s).all()
+    # slots=1 fast path: single serial minibatch, dict passed through
+    layer1 = ld.RoIDataLayer(roidb, "VGGnet_train", cfg, (64, 64),
+                             is_training=False, slots=1)
+    assert (layer1.forward()["data"] == 0).all()
 
 
 def test_prefetcher_order_and_error_propagation():

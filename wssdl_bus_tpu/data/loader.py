@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -51,6 +52,16 @@ def _concat_slots(blobs: list) -> dict:
             for k in blobs[0]}
 
 
+def _slot_pool(slots: int):
+    """Worker pool for parallel per-slot minibatch assembly.  The hot
+    loops (imread, resize/rotate/photometric) run in native code or
+    GIL-releasing numpy, so threads give real overlap; with 8 mesh slots a
+    serial assembly would make host augmentation the training bottleneck."""
+    return (ThreadPoolExecutor(max_workers=min(slots, 8),
+                               thread_name_prefix="slotprep")
+            if slots > 1 else None)
+
+
 class RoIDataLayer:
     """Single-regime loader (supervised or weak).
 
@@ -72,6 +83,7 @@ class RoIDataLayer:
         self.ims_per_batch = per if is_training else 1
         self.slots = slots
         self.cursor = _Cursor(len(roidb), is_training, self.rng)
+        self._pool = _slot_pool(slots)
 
     def _forward_one(self):
         idx = self.cursor.next(self.ims_per_batch)
@@ -80,8 +92,22 @@ class RoIDataLayer:
                              self.is_training, self.is_ws, self.rng)
 
     def forward(self):
-        return _concat_slots([self._forward_one()
-                              for _ in range(self.slots)])
+        if self.slots == 1:
+            return self._forward_one()
+        # cursor draws + per-slot RNG seeds happen serially (deterministic
+        # under the layer's stream); the augmentation/packing fans out to
+        # the pool with a private RandomState per slot (np RandomState is
+        # not thread-safe)
+        jobs = []
+        for _ in range(self.slots):
+            idx = self.cursor.next(self.ims_per_batch)
+            jobs.append(([self.roidb[i] for i in idx],
+                         np.random.RandomState(self.rng.randint(2 ** 31))))
+        blobs = list(self._pool.map(
+            lambda j: get_minibatch(j[0], self.net_name, self.cfg,
+                                    self.canvas_hw, self.is_training,
+                                    self.is_ws, j[1]), jobs))
+        return _concat_slots(blobs)
 
 
 class RoIDataLayerJoint:
@@ -109,6 +135,7 @@ class RoIDataLayerJoint:
         self.slots = slots
         self.cursor_s = _Cursor(len(roidb_s), is_training, self.rng)
         self.cursor_ws = _Cursor(len(roidb_ws), is_training, self.rng)
+        self._pool = _slot_pool(slots)
 
     def _forward_one(self):
         ids = self.cursor_s.next(self.cfg.TRAIN.IMS_PER_BATCH)
@@ -119,8 +146,21 @@ class RoIDataLayerJoint:
                                    self.rng, is_training=self.is_training)
 
     def forward(self):
-        return _concat_slots([self._forward_one()
-                              for _ in range(self.slots)])
+        if self.slots == 1:
+            return self._forward_one()
+        # serial draws, parallel assembly — see RoIDataLayer.forward
+        jobs = []
+        for _ in range(self.slots):
+            ids = self.cursor_s.next(self.cfg.TRAIN.IMS_PER_BATCH)
+            idw = self.cursor_ws.next(self.cfg.TRAIN.WS_IMS_PER_BATCH)
+            jobs.append(([self.roidb_s[i] for i in ids],
+                         [self.roidb_ws[i] for i in idw],
+                         np.random.RandomState(self.rng.randint(2 ** 31))))
+        blobs = list(self._pool.map(
+            lambda j: get_minibatch_joint(
+                j[0], j[1], self.net_name, self.cfg, self.canvas_hw, j[2],
+                is_training=self.is_training), jobs))
+        return _concat_slots(blobs)
 
 
 class Prefetcher:

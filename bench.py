@@ -21,7 +21,8 @@ conv head dominates); ResNet-18 single 234 / batch-8 559 (light trunk is
 dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
 batch size because XLA already lowers f32 convs to single-pass bf16 MXU
 ops under the default precision.  Combined train step (1 supervised + 2
-weak images): 20.7 it/s f32, 21.3 it/s bf16, with donated train state.
+weak images): 20.7 it/s f32, 21.3 it/s bf16, with donated train state;
+alternating-regime weak (MIL-only) step: 31.3 it/s (--alter).
 Train-step roofline (from tools/profile_train.py): trunk forward 10.2 ms
 at ~45% MXU (conv-schedule-limited), detection ops 15.5 ms (Pallas ROI
 pool 5.8 for ~4.1k ROIs, NMS 2.2, target layers ~2, heads 0.7, glue ~4),
@@ -58,6 +59,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the combined TRAIN step instead "
                          "(1 supervised + 2 weak images, full budgets)")
+    ap.add_argument("--alter", action="store_true",
+                    help="benchmark the ALTERNATING regime's weak MIL-only "
+                         "step instead (2 weak images, full budgets)")
     ap.add_argument("--network", default="VGGnet_train",
                     help="VGGnet_train or Resnet_train (see --net_depth)")
     ap.add_argument("--net_depth", type=int, default=18,
@@ -96,6 +100,45 @@ def main():
     variables, _ = eng.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(3)
+
+    if args.alter:
+        import jax.numpy as jnp
+
+        # the alternating regime's weak step: MIL bag loss only over
+        # WS_IMS_PER_BATCH weak images (train_bus.py:368-394)
+        eng_ws = Engine(model, cfg, canvas, num_supervised=0,
+                        num_ws=cfg.TRAIN.WS_IMS_PER_BATCH,
+                        selector_pair=("mass_max", "mal_max"))
+        variables, opt_state = eng_ws.init(jax.random.PRNGKey(0))
+        n = cfg.TRAIN.WS_IMS_PER_BATCH
+        batch = {
+            "data": jax.device_put(
+                rng.rand(n, canvas[0], canvas[1], 3).astype(np.float32)),
+            "gt_boxes": jax.device_put(np.zeros((n, 20, 5), np.float32)),
+            "num_gt_boxes": jax.device_put(np.zeros((n,), np.int32)),
+            "im_info": jax.device_put(np.array(
+                [[canvas[0], canvas[1], 1.33, 1 + d % 2] for d in range(n)],
+                np.float32)),
+        }
+        key, lr = jax.random.PRNGKey(1), jnp.float32(5e-4)
+        variables, opt_state, mil = eng_ws.train_step_mil_donated(
+            variables, opt_state, batch, key, lr, jnp.int32(0))
+        float(mil)  # hard sync
+        iters = max(5, args.iters)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            variables, opt_state, mil = eng_ws.train_step_mil_donated(
+                variables, opt_state, batch, key, lr, jnp.int32(i))
+        float(mil)
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": f"{net_tag}_frcnn_alter_ws_iters_per_sec_"
+                      f"{jax.devices()[0].platform}",
+            "value": round(1.0 / dt, 3),
+            "unit": "iters/sec",
+            "vs_baseline": 0,
+        }))
+        return
 
     if args.train:
         import jax.numpy as jnp

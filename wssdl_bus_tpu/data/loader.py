@@ -109,6 +109,13 @@ class RoIDataLayer:
                                     self.is_ws, j[1]), jobs))
         return _concat_slots(blobs)
 
+    def close(self):
+        """Release the slot pool (slots > 1 leaks worker threads
+        otherwise; Prefetcher.close cascades here)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
 
 class RoIDataLayerJoint:
     """Joint loader: IMS_PER_BATCH supervised + WS_IMS_PER_BATCH weak images
@@ -162,6 +169,12 @@ class RoIDataLayerJoint:
                 is_training=self.is_training), jobs))
         return _concat_slots(blobs)
 
+    def close(self):
+        """Release the slot pool (see RoIDataLayer.close)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
 
 class Prefetcher:
     """Bounded-queue background prefetch around any layer with .forward().
@@ -210,6 +223,10 @@ class Prefetcher:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+        # cascade: release the wrapped layer's slot pool (if any)
+        close = getattr(self.layer, "close", None)
+        if close is not None:
+            close()
 
 
 def get_data_layer(roidbs, net_name, cfg, canvas_hw, is_training,

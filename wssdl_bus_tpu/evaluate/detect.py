@@ -254,8 +254,10 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
     def detections():
         """Yield (i, image, scores, boxes) lazily.  Host-side work (file
         read, decode, resize, canvas packing) runs on a prefetch thread so
-        it overlaps the device step; each batch is post-processed as it
-        completes, keeping host memory bounded at ~one prefetched batch."""
+        it overlaps the device step.  Peak host memory in the batched path
+        is ~4 in-flight batches (prefetch queue depth 2 + the dispatched
+        batch + the one being post-processed), each holding its raw images
+        and packed canvas blob."""
         if batch_size > 1:
             # trace the second batch if one exists (post-compile), else the
             # only batch
@@ -290,14 +292,22 @@ def test_net(eng, variables, imdb, output_dir: str, net_name: str,
             for start, idxs, ims, padded, blob, infos, scales \
                     in prefetch_iter(host_batches()):
                 if start == trace_start:
-                    # the traced batch runs unpipelined so the profiler
-                    # window covers its device execution
+                    # the traced batch runs unpipelined, and the blocking
+                    # fetch happens INSIDE the trace window (so it covers
+                    # the device execution) while the yields happen outside
+                    # (so the consumer's NMS/vis does not pollute it —
+                    # the reference traced only sess.run,
+                    # test_bus.py:186-188)
                     if pending is not None:
                         yield from emit(pending)
                         pending = None
                     with trace:
                         outs = eng.inference_step(variables, blob, infos)
-                        yield from emit((idxs, ims, padded, scales, outs))
+                        t_det.tic()
+                        results = _decode_packed(eng, padded, scales, outs)
+                        t_det.toc()
+                    for k, i in enumerate(idxs):
+                        yield (i, ims[k]) + results[k]
                     continue
                 outs = eng.inference_step(variables, blob, infos)
                 if pending is not None:

@@ -39,6 +39,7 @@ def main():
     from wssdl_bus_tpu.train.checkpoint import load_checkpoint
 
     imdb = get_imdb(args.imdb_test, args.data_dir)
+    imdb.competition_mode(args.comp_mode)  # reference test.py:50
     roidb = prepare_roidb(imdb)
     sizes = [(e["height"], e["width"]) for e in roidb]
     canvas = max_canvas(sizes, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)

@@ -417,8 +417,7 @@ class Solver:
 
         if last_snapshot_iter != self.max_iters - 1:
             self.snapshot(self.max_iters - 1, test_loss_logs=test_loss_logs)
-        if self.use_prefetch:
-            layer.close()
+        layer.close()  # Prefetcher or bare layer; releases slot pools too
         self.logger.close()
 
     # ------------------------------------------------------------------ #
@@ -554,9 +553,8 @@ class Solver:
         if last_snapshot_iter != self.max_iters - 1:
             self.snapshot(self.max_iters - 1, opt_state_ws=opt_state_ws,
                           test_loss_logs=test_loss_logs, ws_step=ws_step)
-        if self.use_prefetch:
-            layer_s.close()
-            layer_ws.close()
+        layer_s.close()  # Prefetcher or bare layer; releases slot pools too
+        layer_ws.close()
         self.logger.close()
 
 

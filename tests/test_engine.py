@@ -168,3 +168,31 @@ def test_train_step_bit_reproducible(rng):
     losses2, leaf2 = run()
     np.testing.assert_array_equal(losses1, losses2)
     np.testing.assert_array_equal(leaf1, leaf2)
+
+
+def test_engine_value_identity_shares_jit_cache(engine_and_vars, rng):
+    """Engines compare by configuration value, so an equal-config engine
+    reuses the already-compiled executables instead of recompiling (the jit
+    cache is keyed on the engine via static_argnums=(0,))."""
+    eng, variables, opt_state = engine_and_vars
+    twin = Engine(FasterRCNN(backbone="VGGnet"), tiny_cfg(), CANVAS)
+    assert twin == eng and hash(twin) == hash(eng)
+    assert Engine(FasterRCNN(backbone="VGGnet"), tiny_cfg(),
+                  (CANVAS[0] + 32, CANVAS[1])) != eng
+    assert Engine(FasterRCNN(backbone="Resnet", depth=18, norm="BN"),
+                  tiny_cfg(), CANVAS) != eng
+    assert Engine(FasterRCNN(backbone="VGGnet"), tiny_cfg(), CANVAS,
+                  opt_name="sgd") != eng
+
+    # warm the cache through `eng`, then the twin's first call must be a
+    # cache hit, not a second compile
+    twin.init(jax.random.PRNGKey(3))
+    batch = synth_batch(rng)
+    eng.train_step(variables, opt_state, batch, jax.random.PRNGKey(1),
+                   jnp.float32(5e-4), jnp.int32(0))
+    before = Engine.train_step._cache_size()
+    _, _, losses = twin.train_step(
+        variables, opt_state, batch, jax.random.PRNGKey(1),
+        jnp.float32(5e-4), jnp.int32(0))
+    assert np.isfinite(np.asarray(losses.total))
+    assert Engine.train_step._cache_size() == before

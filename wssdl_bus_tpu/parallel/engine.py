@@ -55,6 +55,11 @@ class ParallelEngine(Engine):
         self.n_model = mesh.shape.get("model", 1)
         self.tp = self.n_model > 1 and model.backbone == "VGGnet"
 
+    def _static_key(self):
+        # Mesh participates in trace identity: same config on a different
+        # mesh (or device order) is a different SPMD program.
+        return super()._static_key() + (self.mesh,)
+
     # ------------------------------------------------------------------ #
     def _apply_head(self, var, pooled, train, dropout_rng=None):
         if not self.tp:

@@ -16,6 +16,7 @@ what we take.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -90,7 +91,17 @@ def vgg_frozen_mask(params) -> dict:
 
 
 class Engine:
-    """Builds and caches the jitted step functions for one model + canvas."""
+    """Builds and caches the jitted step functions for one model + canvas.
+
+    Engines compare (and hash) by VALUE over their trace-relevant
+    configuration, not by identity.  The step methods are jitted with
+    ``static_argnums=(0,)``, so the jit cache is keyed on the engine itself:
+    two engines constructed with equal (model, cfg, canvas, batch split,
+    dataset, optimizer, selectors) produce byte-identical traced programs and
+    therefore SHARE compiled executables instead of recompiling.  Everything
+    else on the instance (``anchors``, ``_at_kwargs``, ``tx``, ...) is
+    derived deterministically from the key fields in ``__init__``/``init``.
+    """
 
     def __init__(self, model: FasterRCNN, cfg: Config, canvas_hw,
                  num_supervised: int = None, num_ws: int = None,
@@ -132,6 +143,21 @@ class Engine:
             normalize_targets=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED,
             normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
             normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
+
+    # ------------------------------------------------------------------ #
+    # Value identity (jit-cache sharing across equal-config engines)
+    # ------------------------------------------------------------------ #
+    def _static_key(self):
+        return (dataclasses.astuple(self.model), self.cfg,
+                tuple(self.canvas_hw), self.n_s, self.n_ws, self.dataset,
+                self.opt_name, tuple(self.selector_pair))
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self._static_key() == other._static_key())
+
+    def __hash__(self):
+        return hash((type(self),) + self._static_key())
 
     # ------------------------------------------------------------------ #
     def init(self, rng):

@@ -134,6 +134,103 @@ def test_solver_resume_across_topologies(tmp_path):
     assert any("_iter_4" in d for d in os.listdir(tmp_path))
 
 
+def _small_cfg():
+    from wssdl_bus_tpu.config import Config
+    return Config().with_overrides([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
+        "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
+        "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
+        "TRAIN.DISPLAY", "1000",
+    ])
+
+
+def _assert_trees_equal(a, b):
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_solver_resume_exact_trajectory_combined(tmp_path):
+    """--resume reproduces the uninterrupted trajectory BITWISE: a 2-iter
+    run snapshotted then resumed to 4 ends with the same params as a
+    straight 4-iter run.  The resumed half runs under prefetch, so this
+    also proves the Prefetcher's consumption-synchronous draw-state pairing
+    (the worker runs up to `depth` batches ahead of what was consumed)."""
+    import jax
+
+    from wssdl_bus_tpu.data.augment import max_canvas
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.engine import Engine
+    from wssdl_bus_tpu.train.solver import Solver
+
+    cfg = _small_cfg()
+    imdb = get_imdb("bus_test", DATA)
+    roidb = prepare_roidb(imdb)
+    canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
+
+    def mk(out, max_iters, resume, prefetch):
+        eng = Engine(build_detector("VGGnet_train"), cfg, canvas)
+        return Solver(eng, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                      str(tmp_path / out), max_iters=max_iters,
+                      use_prefetch=prefetch, resume=resume)
+
+    sa = mk("straight", 4, False, False)
+    sa.train_combined()
+    ref_vars = jax.device_get(sa.variables)
+
+    sb = mk("resumed", 2, False, True)
+    sb.train_combined()
+    sc = mk("resumed", 4, True, True)
+    assert sc.start_iter == 2
+    sc.train_combined()
+    _assert_trees_equal(ref_vars, jax.device_get(sc.variables))
+    _assert_trees_equal(np.asarray(sa.key), np.asarray(sc.key))
+
+
+def test_solver_resume_exact_trajectory_alternating(tmp_path):
+    """Alternating-regime exactness: the resumed run restores BOTH data
+    layers' draw state, the WS-update counter (MIL decay), the
+    carry-forward loss vector, and the second optimizer's moments — final
+    params bitwise-match an uninterrupted run."""
+    import jax
+
+    from wssdl_bus_tpu.data.augment import max_canvas
+    from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.engine import Engine
+    from wssdl_bus_tpu.train.solver import Solver
+
+    cfg = _small_cfg()
+    imdb = get_imdb("bus_test", DATA)
+    roidb = prepare_roidb(imdb)
+    canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
+
+    def mk(out, max_iters, resume):
+        eng = Engine(build_detector("VGGnet_train"), cfg, canvas, num_ws=0)
+        return Solver(eng, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                      str(tmp_path / out), max_iters=max_iters,
+                      use_prefetch=False, resume=resume)
+
+    sa = mk("straight", 4, False)
+    sa.train_alternating(0, 9, 0, 9)
+    ref_vars = jax.device_get(sa.variables)
+
+    sb = mk("resumed", 2, False)
+    sb.train_alternating(0, 9, 0, 9)
+    sc = mk("resumed", 4, True)
+    assert sc.start_iter == 2
+    sc.train_alternating(0, 9, 0, 9)
+    _assert_trees_equal(ref_vars, jax.device_get(sc.variables))
+
+
 def test_get_test_roidb_and_data_layer_factory():
     """Function-level API parity: get_test_roidb (test_bus.py:416) and
     get_data_layer (train_bus.py:1037)."""

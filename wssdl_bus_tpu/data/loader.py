@@ -41,6 +41,13 @@ class _Cursor:
         self.cur += k
         return idx
 
+    def state_dict(self) -> dict:
+        return {"perm": self.perm.copy(), "cur": self.cur}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.perm = np.asarray(sd["perm"]).copy()
+        self.cur = int(sd["cur"])
+
 
 def _concat_slots(blobs: list) -> dict:
     """Stack per-slot blob dicts contiguously along axis 0 — the global
@@ -109,6 +116,17 @@ class RoIDataLayer:
                                     self.is_ws, j[1]), jobs))
         return _concat_slots(blobs)
 
+    def state_dict(self) -> dict:
+        """Snapshot the draw state (shared RNG stream + cursor) right after
+        a ``forward()``: restoring it makes the NEXT ``forward()`` produce
+        exactly what an uninterrupted run would have produced."""
+        return {"rng": self.rng.get_state(),
+                "cursor": self.cursor.state_dict()}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.rng.set_state(sd["rng"])
+        self.cursor.load_state_dict(sd["cursor"])
+
     def close(self):
         """Release the slot pool (slots > 1 leaks worker threads
         otherwise; Prefetcher.close cascades here)."""
@@ -169,6 +187,17 @@ class RoIDataLayerJoint:
                 is_training=self.is_training), jobs))
         return _concat_slots(blobs)
 
+    def state_dict(self) -> dict:
+        """See RoIDataLayer.state_dict (here: one RNG, two cursors)."""
+        return {"rng": self.rng.get_state(),
+                "cursor_s": self.cursor_s.state_dict(),
+                "cursor_ws": self.cursor_ws.state_dict()}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.rng.set_state(sd["rng"])
+        self.cursor_s.load_state_dict(sd["cursor_s"])
+        self.cursor_ws.load_state_dict(sd["cursor_ws"])
+
     def close(self):
         """Release the slot pool (see RoIDataLayer.close)."""
         if self._pool is not None:
@@ -180,13 +209,25 @@ class Prefetcher:
     """Bounded-queue background prefetch around any layer with .forward().
 
     A worker-thread exception is captured and re-raised from the consumer's
-    next ``forward()`` call instead of hanging it forever."""
+    next ``forward()`` call instead of hanging it forever.
+
+    The worker pairs every produced batch with the layer's post-draw
+    ``state_dict()`` (when the layer has one), and ``state_dict()`` here
+    returns the state paired with the last CONSUMED batch — not the layer's
+    live state, which runs up to ``depth`` batches ahead.  Snapshotting
+    through the Prefetcher therefore records a draw position synchronous
+    with consumption, so an exact-trajectory resume re-draws precisely the
+    batches the interrupted run never consumed.  Load state into the
+    wrapped layer BEFORE constructing the Prefetcher (the worker starts
+    drawing immediately)."""
 
     def __init__(self, layer, depth: int = 2):
         self.layer = layer
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._error = None
+        self._get_state = getattr(layer, "state_dict", lambda: None)
+        self._consumed_state = self._get_state()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
@@ -194,13 +235,14 @@ class Prefetcher:
         while not self._stop.is_set():
             try:
                 blobs = self.layer.forward()
+                state = self._get_state()
             except BaseException as e:  # noqa: BLE001 — relayed to consumer
                 self._error = e
                 self._stop.set()
                 return
             while not self._stop.is_set():
                 try:
-                    self.q.put(blobs, timeout=0.5)
+                    self.q.put((blobs, state), timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -210,11 +252,16 @@ class Prefetcher:
             if self._error is not None:
                 raise RuntimeError("prefetch worker failed") from self._error
             try:
-                return self.q.get(timeout=0.5)
+                blobs, state = self.q.get(timeout=0.5)
+                self._consumed_state = state
+                return blobs
             except queue.Empty:
                 if self._stop.is_set():  # closed with no pending error
                     raise RuntimeError("prefetcher is closed") from None
                 continue
+
+    def state_dict(self):
+        return self._consumed_state
 
     def close(self):
         self._stop.set()

@@ -118,14 +118,18 @@ class Solver:
         # mid-training resume — a capability the reference LACKS (its
         # checkpoints are only ever consumed by test.py, SURVEY.md §5.4).
         # Restored: params, optimizer state(s), step, LR-schedule state,
-        # test-loss logs, jax key stream, eval RNG, WS-update counter.
-        # NOT restored (documented residual): the data layers' shuffled
-        # cursor positions — after resume each layer reshuffles from a fresh
-        # deterministic stream, so epoch boundaries shift by < 1 epoch.
+        # test-loss logs, jax key stream, eval RNG, WS-update counter,
+        # data-layer draw state (RNG streams + shuffled cursor positions,
+        # consumption-synchronous even under prefetch) and the loss-display
+        # accumulators — a resumed run reproduces the uninterrupted
+        # trajectory exactly.
         self.start_iter = 0
         self._resume_ckpt = None
         self._saved_test_loss_logs = []
         self._saved_ws_step = 0
+        self._saved_layer_state = None
+        self._saved_training_loss = None
+        self._saved_carry = None
         if resume:
             from wssdl_bus_tpu.train.checkpoint import (latest_checkpoint,
                                                         load_checkpoint,
@@ -144,6 +148,9 @@ class Solver:
                     self._saved_test_loss_logs = host.get(
                         "test_loss_logs", [])
                     self._saved_ws_step = host.get("ws_step", 0)
+                    self._saved_layer_state = host.get("data_layers")
+                    self._saved_training_loss = host.get("training_loss")
+                    self._saved_carry = host.get("carry")
                     if "key" in host:
                         self.key = jnp.asarray(host["key"])
                     if "eval_rng" in host:
@@ -197,13 +204,22 @@ class Solver:
             self._tracing = False
 
     def snapshot(self, step: int, opt_state_ws=None, test_loss_logs=None,
-                 ws_step: int = 0):
+                 ws_step: int = 0, data_layer_state=None, training_loss=None,
+                 carry=None):
         t = self.cfg.TRAIN
         host = {"schedule": self.schedule.state_dict(),
                 "test_loss_logs": list(test_loss_logs or []),
                 "key": np.asarray(self.key),
                 "eval_rng": self.eval_rng.get_state(),
-                "ws_step": int(ws_step)}
+                "ws_step": int(ws_step),
+                # data-layer draw state (RNG stream + shuffled cursor
+                # positions), captured synchronously with consumption (see
+                # Prefetcher.state_dict) — with it, --resume re-draws the
+                # exact batch sequence an uninterrupted run would see
+                "data_layers": data_layer_state,
+                "training_loss": (None if training_loss is None
+                                  else np.asarray(training_loss)),
+                "carry": None if carry is None else np.asarray(carry)}
         # fetch to host first: snapshots must restore onto ANY device
         # topology (single chip or a different mesh), so nothing
         # mesh-sharded may reach orbax
@@ -369,10 +385,13 @@ class Solver:
             self.eng.canvas_hw,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
             slots=self.n_slots)
+        if self._saved_layer_state and "joint" in self._saved_layer_state:
+            layer.load_state_dict(self._saved_layer_state["joint"])
         if self.use_prefetch:
             layer = Prefetcher(layer)
         timer = Timer()
-        training_loss = np.zeros((6,))
+        training_loss = (np.zeros((6,)) if self._saved_training_loss is None
+                         else np.asarray(self._saved_training_loss).copy())
         test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
 
@@ -407,16 +426,27 @@ class Solver:
                 pending = drain(pending)
                 self._display(it, self._losses_np(ls))
                 print(f"speed: {timer.average_time:.3f}s / iter")
-            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
-                last_snapshot_iter = it
-                self.snapshot(it, test_loss_logs=test_loss_logs)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
                 pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
+            # snapshot AFTER the in-loop eval (the reference's opposite
+            # order doesn't matter there — it cannot resume): the eval at
+            # this iter mutates eval_rng and appends the test-loss log that
+            # drives 'rop', so resuming from a pre-eval snapshot would
+            # diverge from the uninterrupted trajectory
+            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                pending = drain(pending)
+                last_snapshot_iter = it
+                self.snapshot(it, test_loss_logs=test_loss_logs,
+                              data_layer_state={"joint": layer.state_dict()},
+                              training_loss=training_loss)
 
         if last_snapshot_iter != self.max_iters - 1:
-            self.snapshot(self.max_iters - 1, test_loss_logs=test_loss_logs)
+            pending = drain(pending)
+            self.snapshot(self.max_iters - 1, test_loss_logs=test_loss_logs,
+                          data_layer_state={"joint": layer.state_dict()},
+                          training_loss=training_loss)
         layer.close()  # Prefetcher or bare layer; releases slot pools too
         self.logger.close()
 
@@ -473,11 +503,17 @@ class Solver:
             is_training=True, is_ws=True,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
             slots=self.n_slots)
+        if self._saved_layer_state:
+            if "s" in self._saved_layer_state:
+                layer_s.load_state_dict(self._saved_layer_state["s"])
+            if "ws" in self._saved_layer_state:
+                layer_ws.load_state_dict(self._saved_layer_state["ws"])
         if self.use_prefetch:
             layer_s, layer_ws = Prefetcher(layer_s), Prefetcher(layer_ws)
 
         timer = Timer()
-        training_loss = np.zeros((6,))
+        training_loss = (np.zeros((6,)) if self._saved_training_loss is None
+                         else np.asarray(self._saved_training_loss).copy())
         test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
         # the reference counts WS optimizer steps separately: the adaptive
@@ -494,7 +530,9 @@ class Solver:
         # carry-forward logging like the reference (train_bus.py:362-399):
         # iterations without a supervised step repeat the previous losses;
         # the MIL slot starts at -log(1/3) before the first WS step
-        carry = np.array([0, 0, 0, 0, 0, float(np.log(3.0))])
+        carry = (np.array([0, 0, 0, 0, 0, float(np.log(3.0))])
+                 if self._saved_carry is None
+                 else np.asarray(self._saved_carry).copy())
 
         def to_np(pair):
             ls_i, mil_i = pair
@@ -541,18 +579,27 @@ class Solver:
                 pending = drain(pending)
                 self._display(it, to_np(last))
                 print(f"speed: {timer.average_time:.3f}s / iter")
-            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
-                last_snapshot_iter = it
-                self.snapshot(it, opt_state_ws=opt_state_ws,
-                              test_loss_logs=test_loss_logs, ws_step=ws_step)
             if (it + 1) % cfg.TRAIN.TEST_ITERS == 0:
                 pending = drain(pending)
                 self.periodic_eval(it, cur_lr, training_loss, test_loss_logs)
                 training_loss = np.zeros((6,))
+            # snapshot AFTER the in-loop eval — see train_combined
+            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                pending = drain(pending)
+                last_snapshot_iter = it
+                self.snapshot(it, opt_state_ws=opt_state_ws,
+                              test_loss_logs=test_loss_logs, ws_step=ws_step,
+                              data_layer_state={"s": layer_s.state_dict(),
+                                                "ws": layer_ws.state_dict()},
+                              training_loss=training_loss, carry=carry)
 
         if last_snapshot_iter != self.max_iters - 1:
+            pending = drain(pending)
             self.snapshot(self.max_iters - 1, opt_state_ws=opt_state_ws,
-                          test_loss_logs=test_loss_logs, ws_step=ws_step)
+                          test_loss_logs=test_loss_logs, ws_step=ws_step,
+                          data_layer_state={"s": layer_s.state_dict(),
+                                            "ws": layer_ws.state_dict()},
+                          training_loss=training_loss, carry=carry)
         layer_s.close()  # Prefetcher or bare layer; releases slot pools too
         layer_ws.close()
         self.logger.close()

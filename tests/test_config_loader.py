@@ -124,3 +124,48 @@ def test_prefetcher_order_and_error_propagation():
     pf2 = Prefetcher(Slow())
     assert pf2.forward() == {"x": 0}
     pf2.close()  # close drains and stops cleanly
+
+
+def test_prefetcher_state_pairs_with_consumption():
+    """Prefetcher.state_dict() must return the draw state paired with the
+    last CONSUMED batch, not the worker's read-ahead position — restoring
+    it into a fresh layer re-draws exactly the unconsumed batches."""
+    import time
+
+    from wssdl_bus_tpu.data.loader import Prefetcher
+
+    class Fake:
+        """Deterministic layer whose state is 'how many draws happened'."""
+
+        def __init__(self, start=0):
+            self.i = start
+
+        def forward(self):
+            self.i += 1
+            return {"step": self.i}
+
+        def state_dict(self):
+            return {"i": self.i}
+
+        def load_state_dict(self, sd):
+            self.i = int(sd["i"])
+
+    layer = Fake()
+    pf = Prefetcher(layer, depth=3)
+    assert pf.state_dict() == {"i": 0}  # nothing consumed yet
+    assert pf.forward()["step"] == 1
+    assert pf.forward()["step"] == 2
+    # give the worker time to run ahead (depth 3 + one in flight)
+    deadline = time.time() + 2.0
+    while layer.i < 5 and time.time() < deadline:
+        time.sleep(0.01)
+    assert layer.i > 2  # the live layer IS ahead of consumption...
+    state = pf.state_dict()
+    assert state == {"i": 2}  # ...but the snapshot is not
+    pf.close()
+
+    resumed = Fake()
+    resumed.load_state_dict(state)
+    pf2 = Prefetcher(resumed, depth=3)
+    assert pf2.forward()["step"] == 3  # continues where consumption stopped
+    pf2.close()

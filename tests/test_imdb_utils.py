@@ -45,24 +45,28 @@ def test_create_roidb_from_box_list():
     assert e0["gt_classes"][0] == 0  # proposals carry no labels
 
 
-def test_solver_resume(tmp_path):
-    """Train 2 iters, resume, finish to 3: start_iter restored."""
-    import jax
-
+def _small_cfg(extra=()):
     from wssdl_bus_tpu.config import Config
-    from wssdl_bus_tpu.models.detector import build_detector
-    from wssdl_bus_tpu.train.engine import Engine
-    from wssdl_bus_tpu.train.solver import Solver
-
-    cfg = Config().with_overrides([
+    return Config().with_overrides([
         "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
         "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
         "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
         "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
         "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
         "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
-        "TRAIN.DISPLAY", "1000",
+        "TRAIN.DISPLAY", "1000", *extra,
     ])
+
+
+def test_solver_resume(tmp_path):
+    """Train 2 iters, resume, finish to 3: start_iter restored."""
+    import jax
+
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.train.engine import Engine
+    from wssdl_bus_tpu.train.solver import Solver
+
+    cfg = _small_cfg()
     from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
     imdb = get_imdb("bus_test", DATA)
     roidb = prepare_roidb(imdb)
@@ -84,28 +88,28 @@ def test_solver_resume(tmp_path):
     s2.train_combined()
     assert any("_iter_3" in d for d in os.listdir(tmp_path))
 
+    # cross-regime resume: a combined snapshot feeding train_alternating
+    # must NOT leak its regime-keyed draw state / loss accumulators —
+    # the alternating run starts those fresh (and must not crash)
+    eng3 = Engine(build_detector("VGGnet_train"), cfg, canvas, num_ws=0)
+    s3 = Solver(eng3, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
+                str(tmp_path), max_iters=3, use_prefetch=False, resume=True)
+    assert s3._saved_layer_state and "joint" in s3._saved_layer_state
+    s3.train_alternating(0, 9, 0, 9)  # start_iter == max_iters: gate only
+
 
 def test_solver_resume_across_topologies(tmp_path):
     """Snapshots are host-fetched before orbax, so a run trained on a
     (2,1) mesh resumes on a single-device Engine and vice versa."""
     import jax
 
-    from wssdl_bus_tpu.config import Config
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
     from wssdl_bus_tpu.models.detector import build_detector
     from wssdl_bus_tpu.parallel import build_engine
     from wssdl_bus_tpu.train.solver import Solver
 
-    cfg = Config().with_overrides([
-        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
-        "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
-        "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
-        "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
-        "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
-        "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
-        "TRAIN.DISPLAY", "1000",
-    ])
+    cfg = _small_cfg()
     imdb = get_imdb("bus_test", DATA)
     roidb = prepare_roidb(imdb)
     canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
@@ -134,19 +138,6 @@ def test_solver_resume_across_topologies(tmp_path):
     assert any("_iter_4" in d for d in os.listdir(tmp_path))
 
 
-def _small_cfg():
-    from wssdl_bus_tpu.config import Config
-    return Config().with_overrides([
-        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
-        "TEST.SCALES", "(96,)", "TEST.MAX_SIZE", "160",
-        "TRAIN.RPN_PRE_NMS_TOP_N", "200", "TRAIN.RPN_POST_NMS_TOP_N", "32",
-        "TRAIN.BATCH_SIZE", "16", "TRAIN.RPN_BATCHSIZE", "32",
-        "TEST.RPN_PRE_NMS_TOP_N", "100", "TEST.RPN_POST_NMS_TOP_N", "16",
-        "TRAIN.SNAPSHOT_ITERS", "2", "TRAIN.TEST_ITERS", "1000",
-        "TRAIN.DISPLAY", "1000",
-    ])
-
-
 def _assert_trees_equal(a, b):
     import jax
 
@@ -162,7 +153,10 @@ def test_solver_resume_exact_trajectory_combined(tmp_path):
     run snapshotted then resumed to 4 ends with the same params as a
     straight 4-iter run.  The resumed half runs under prefetch, so this
     also proves the Prefetcher's consumption-synchronous draw-state pairing
-    (the worker runs up to `depth` batches ahead of what was consumed)."""
+    (the worker runs up to `depth` batches ahead of what was consumed).
+    TEST_ITERS=2 makes every snapshot coincide with an in-loop eval, so
+    the snapshot-AFTER-eval ordering (the eval mutates eval_rng, self.key
+    and the test-loss log) is part of what must reproduce bitwise."""
     import jax
 
     from wssdl_bus_tpu.data.augment import max_canvas
@@ -171,7 +165,7 @@ def test_solver_resume_exact_trajectory_combined(tmp_path):
     from wssdl_bus_tpu.train.engine import Engine
     from wssdl_bus_tpu.train.solver import Solver
 
-    cfg = _small_cfg()
+    cfg = _small_cfg(("TRAIN.TEST_ITERS", "2"))
     imdb = get_imdb("bus_test", DATA)
     roidb = prepare_roidb(imdb)
     canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
@@ -199,7 +193,10 @@ def test_solver_resume_exact_trajectory_alternating(tmp_path):
     """Alternating-regime exactness: the resumed run restores BOTH data
     layers' draw state, the WS-update counter (MIL decay), the
     carry-forward loss vector, and the second optimizer's moments — final
-    params bitwise-match an uninterrupted run."""
+    params bitwise-match an uninterrupted run.  The interrupted+resumed
+    runs prefetch on both layers (consumption-synchronous pairing for two
+    independent streams); the straight run does not, which also proves
+    prefetch never changes the trajectory."""
     import jax
 
     from wssdl_bus_tpu.data.augment import max_canvas
@@ -213,19 +210,19 @@ def test_solver_resume_exact_trajectory_alternating(tmp_path):
     roidb = prepare_roidb(imdb)
     canvas = max_canvas([(e["height"], e["width"]) for e in roidb], 96, 160)
 
-    def mk(out, max_iters, resume):
+    def mk(out, max_iters, resume, prefetch):
         eng = Engine(build_detector("VGGnet_train"), cfg, canvas, num_ws=0)
         return Solver(eng, cfg, "VGGnet_train", roidb, roidb, imdb, roidb,
                       str(tmp_path / out), max_iters=max_iters,
-                      use_prefetch=False, resume=resume)
+                      use_prefetch=prefetch, resume=resume)
 
-    sa = mk("straight", 4, False)
+    sa = mk("straight", 4, False, False)
     sa.train_alternating(0, 9, 0, 9)
     ref_vars = jax.device_get(sa.variables)
 
-    sb = mk("resumed", 2, False)
+    sb = mk("resumed", 2, False, True)
     sb.train_alternating(0, 9, 0, 9)
-    sc = mk("resumed", 4, True)
+    sc = mk("resumed", 4, True, True)
     assert sc.start_iter == 2
     sc.train_alternating(0, 9, 0, 9)
     _assert_trees_equal(ref_vars, jax.device_get(sc.variables))

@@ -42,10 +42,20 @@ class _Cursor:
         return idx
 
     def state_dict(self) -> dict:
-        return {"perm": self.perm.copy(), "cur": self.cur}
+        # no copy: perm is only ever REBOUND (_reset/load_state_dict), never
+        # mutated in place, and under prefetch this runs after every draw
+        return {"perm": self.perm, "cur": self.cur}
 
     def load_state_dict(self, sd: dict) -> None:
-        self.perm = np.asarray(sd["perm"]).copy()
+        perm = np.asarray(sd["perm"])
+        if len(perm) != self.n:
+            # the roidb changed size since the snapshot (different splits or
+            # flip setting): restored indices would be wrong — fail safe by
+            # keeping the fresh shuffle instead of crashing mid-epoch
+            print(f"resume: cursor state is for {len(perm)} entries but the "
+                  f"roidb has {self.n}; starting from a fresh shuffle")
+            return
+        self.perm = perm.copy()
         self.cur = int(sd["cur"])
 
 

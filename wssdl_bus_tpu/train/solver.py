@@ -385,13 +385,23 @@ class Solver:
             self.eng.canvas_hw,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
             slots=self.n_slots)
-        if self._saved_layer_state and "joint" in self._saved_layer_state:
+        # the saved draw state and loss accumulators are regime-keyed: a
+        # snapshot from the OTHER regime (train_alternating) must not leak
+        # its partial sums into this run's logs
+        same_regime = bool(self._saved_layer_state
+                           and "joint" in self._saved_layer_state)
+        if self._saved_layer_state and not same_regime:
+            print("resume: snapshot is from the alternating regime; "
+                  "data-layer state and loss accumulators start fresh")
+        if same_regime and self._saved_layer_state["joint"] is not None:
             layer.load_state_dict(self._saved_layer_state["joint"])
         if self.use_prefetch:
             layer = Prefetcher(layer)
         timer = Timer()
-        training_loss = (np.zeros((6,)) if self._saved_training_loss is None
-                         else np.asarray(self._saved_training_loss).copy())
+        training_loss = (np.asarray(self._saved_training_loss).copy()
+                         if same_regime
+                         and self._saved_training_loss is not None
+                         else np.zeros((6,)))
         test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
 
@@ -503,17 +513,25 @@ class Solver:
             is_training=True, is_ws=True,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
             slots=self.n_slots)
-        if self._saved_layer_state:
-            if "s" in self._saved_layer_state:
+        # regime-keyed restore — see train_combined
+        same_regime = bool(self._saved_layer_state
+                           and "s" in self._saved_layer_state)
+        if self._saved_layer_state and not same_regime:
+            print("resume: snapshot is from the combined regime; "
+                  "data-layer state and loss accumulators start fresh")
+        if same_regime:
+            if self._saved_layer_state["s"] is not None:
                 layer_s.load_state_dict(self._saved_layer_state["s"])
-            if "ws" in self._saved_layer_state:
+            if self._saved_layer_state.get("ws") is not None:
                 layer_ws.load_state_dict(self._saved_layer_state["ws"])
         if self.use_prefetch:
             layer_s, layer_ws = Prefetcher(layer_s), Prefetcher(layer_ws)
 
         timer = Timer()
-        training_loss = (np.zeros((6,)) if self._saved_training_loss is None
-                         else np.asarray(self._saved_training_loss).copy())
+        training_loss = (np.asarray(self._saved_training_loss).copy()
+                         if same_regime
+                         and self._saved_training_loss is not None
+                         else np.zeros((6,)))
         test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
         # the reference counts WS optimizer steps separately: the adaptive
@@ -530,9 +548,9 @@ class Solver:
         # carry-forward logging like the reference (train_bus.py:362-399):
         # iterations without a supervised step repeat the previous losses;
         # the MIL slot starts at -log(1/3) before the first WS step
-        carry = (np.array([0, 0, 0, 0, 0, float(np.log(3.0))])
-                 if self._saved_carry is None
-                 else np.asarray(self._saved_carry).copy())
+        carry = (np.asarray(self._saved_carry).copy()
+                 if same_regime and self._saved_carry is not None
+                 else np.array([0, 0, 0, 0, 0, float(np.log(3.0))]))
 
         def to_np(pair):
             ls_i, mil_i = pair

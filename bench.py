@@ -4,7 +4,7 @@ default accelerator (one TPU chip under the driver).
 Matches the reference's inference configuration (test_bus.py im_detect:
 shortest side 600, TEST proposal budgets 6000 pre-NMS / 300 post-NMS, NMS
 0.7 — reference config.py:231,257-265).  The default is the BATCHED serving
-path (8 images per device step, ``evaluate/detect.py:im_detect_batch``) —
+path (32 images per device step, ``evaluate/detect.py:im_detect_batch``) —
 the configuration a TPU deployment actually serves with; ``--batch 1``
 reproduces the reference's strictly per-image ``im_detect`` loop
 (test_bus.py:404-406).
@@ -16,8 +16,11 @@ on this host at the same batch size (single-image 0.18 img/s, batch-8 0.17
 a stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
 
 Measured v5e numbers (canvas 608x800): VGG16 single-image 206 img/s,
-batch-8 258, batch-16 271; ResNet-50 single 249 / batch-8 242 (per-ROI
-conv head dominates); ResNet-18 single 234 / batch-8 559 (light trunk is
+batch-8 258, batch-16 271, batch-32 278, batch-48 279 (saturated at the
+trunk's conv roofline; batch-64 exhausts HBM — conv1 activations alone
+are ~160 MB/image — hence the batch-32 default, near-peak with memory
+headroom); ResNet-50 single 249 / batch-8 242 (per-ROI conv head
+dominates); ResNet-18 single 234 / batch-8 559 (light trunk is
 dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
 batch size because XLA already lowers f32 convs to single-pass bf16 MXU
 ops under the default precision.  Combined train step (1 supervised + 2
@@ -53,7 +56,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
-    ap.add_argument("--batch", type=int, default=8,
+    ap.add_argument("--batch", type=int, default=32,
                     help="images per inference step (the batched serving "
                          "path, evaluate/detect.py:im_detect_batch); "
                          "--batch 1 = the reference's per-image loop")

@@ -11,9 +11,10 @@ reproduces the reference's strictly per-image ``im_detect`` loop
 
 Baseline: the reference publishes no numbers (BASELINE.md).  The recorded
 baselines below are OUR measured CPU throughput of the same jitted pipeline
-on this host at the same batch size (single-image 0.18 img/s, batch-8 0.17
-— batching does not help the compute-bound CPU), pinned so TPU runs report
-a stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
+on this host (single-image 0.18 img/s; batched 0.17 img/s, measured at
+batch 8 and used for every batch >= 2 — the CPU is compute-bound, so its
+per-image throughput is batch-insensitive), pinned so TPU runs report a
+stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
 
 Measured v5e numbers (canvas 608x800): VGG16 single-image 206 img/s,
 batch-8 258, batch-16 271, batch-32 278, batch-48 279 (saturated at the
@@ -44,7 +45,7 @@ import time
 # Measured on this host with `python bench.py --cpu [--batch 8]` (single
 # process, default threading): jitted full-pipeline inference, 608x800.
 CPU_BASELINE_IMAGES_PER_SEC = 0.18       # --batch 1
-CPU_BASELINE_IMAGES_PER_SEC_BATCHED = 0.17  # --batch >= 2
+CPU_BASELINE_IMAGES_PER_SEC_BATCHED = 0.17  # --batch >= 2 (measured at 8)
 CPU_ALTER_BASELINE_ITERS_PER_SEC = 0.002    # --alter --cpu (455 s/iter)
 
 

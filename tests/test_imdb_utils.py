@@ -97,6 +97,14 @@ def test_solver_resume(tmp_path):
     assert s3._saved_layer_state and "joint" in s3._saved_layer_state
     s3.train_alternating(0, 9, 0, 9)  # start_iter == max_iters: gate only
 
+    # ...and resuming an already-FINISHED run must not overwrite the
+    # stored snapshot with this regime's fresh host state (that would
+    # destroy the combined run's exact-resume data)
+    from wssdl_bus_tpu.train.checkpoint import (latest_checkpoint,
+                                                load_host_state)
+    host = load_host_state(latest_checkpoint(str(tmp_path)))
+    assert "joint" in host["data_layers"]
+
 
 def test_solver_resume_across_topologies(tmp_path):
     """Snapshots are host-fetched before orbax, so a run trained on a

@@ -46,16 +46,14 @@ class _Cursor:
         # mutated in place, and under prefetch this runs after every draw
         return {"perm": self.perm, "cur": self.cur}
 
+    def matches(self, sd: dict) -> bool:
+        """Whether this saved state belongs to a roidb of our size (a
+        mismatch means different splits or flip setting since the
+        snapshot — restored indices would be wrong)."""
+        return len(np.asarray(sd["perm"])) == self.n
+
     def load_state_dict(self, sd: dict) -> None:
-        perm = np.asarray(sd["perm"])
-        if len(perm) != self.n:
-            # the roidb changed size since the snapshot (different splits or
-            # flip setting): restored indices would be wrong — fail safe by
-            # keeping the fresh shuffle instead of crashing mid-epoch
-            print(f"resume: cursor state is for {len(perm)} entries but the "
-                  f"roidb has {self.n}; starting from a fresh shuffle")
-            return
-        self.perm = perm.copy()
+        self.perm = np.asarray(sd["perm"]).copy()
         self.cur = int(sd["cur"])
 
 
@@ -134,6 +132,15 @@ class RoIDataLayer:
                 "cursor": self.cursor.state_dict()}
 
     def load_state_dict(self, sd: dict) -> None:
+        """All-or-nothing: if the roidb changed size since the snapshot the
+        whole restore is skipped (restored indices would be wrong; a partial
+        restore of just the RNG stream would leave a trajectory reproducible
+        from neither the snapshot nor the fresh seed)."""
+        if not self.cursor.matches(sd["cursor"]):
+            print(f"resume: draw state is for a {len(sd['cursor']['perm'])}-"
+                  f"entry roidb but this one has {self.cursor.n}; "
+                  "starting from a fresh shuffle")
+            return
         self.rng.set_state(sd["rng"])
         self.cursor.load_state_dict(sd["cursor"])
 
@@ -204,6 +211,14 @@ class RoIDataLayerJoint:
                 "cursor_ws": self.cursor_ws.state_dict()}
 
     def load_state_dict(self, sd: dict) -> None:
+        """All-or-nothing across BOTH cursors — see RoIDataLayer."""
+        if not (self.cursor_s.matches(sd["cursor_s"])
+                and self.cursor_ws.matches(sd["cursor_ws"])):
+            print("resume: draw state is for differently-sized roidbs "
+                  f"(saved {len(sd['cursor_s']['perm'])}s/"
+                  f"{len(sd['cursor_ws']['perm'])}ws, have {self.cursor_s.n}s/"
+                  f"{self.cursor_ws.n}ws); starting from a fresh shuffle")
+            return
         self.rng.set_state(sd["rng"])
         self.cursor_s.load_state_dict(sd["cursor_s"])
         self.cursor_ws.load_state_dict(sd["cursor_ws"])

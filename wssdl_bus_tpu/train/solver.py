@@ -203,6 +203,33 @@ class Solver:
             jax.profiler.stop_trace()
             self._tracing = False
 
+    def _regime_restore(self, key: str, layers: dict):
+        """Apply the saved regime-keyed resume state to this loop's data
+        layers and return its (training_loss, carry) accumulators.
+
+        ``key``: the draw-state key this regime snapshots under ('joint'
+        for combined, 's' for alternating); ``layers``: state key → layer.
+        A snapshot from the OTHER regime must not leak its draw state or
+        partial loss sums into this run's logs — params/optimizer are
+        reused but these start fresh, with a printed notice."""
+        same_regime = bool(self._saved_layer_state
+                           and key in self._saved_layer_state)
+        if self._saved_layer_state and not same_regime:
+            print("resume: snapshot is from the other training regime; "
+                  "data-layer state and loss accumulators start fresh")
+        if same_regime:
+            for k, layer in layers.items():
+                if self._saved_layer_state.get(k) is not None:
+                    layer.load_state_dict(self._saved_layer_state[k])
+        training_loss = (np.asarray(self._saved_training_loss).copy()
+                         if same_regime
+                         and self._saved_training_loss is not None
+                         else np.zeros((6,)))
+        carry = (np.asarray(self._saved_carry).copy()
+                 if same_regime and self._saved_carry is not None
+                 else np.array([0, 0, 0, 0, 0, float(np.log(3.0))]))
+        return training_loss, carry
+
     def snapshot(self, step: int, opt_state_ws=None, test_loss_logs=None,
                  ws_step: int = 0, data_layer_state=None, training_loss=None,
                  carry=None):
@@ -385,25 +412,17 @@ class Solver:
             self.eng.canvas_hw,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
             slots=self.n_slots)
-        # the saved draw state and loss accumulators are regime-keyed: a
-        # snapshot from the OTHER regime (train_alternating) must not leak
-        # its partial sums into this run's logs
-        same_regime = bool(self._saved_layer_state
-                           and "joint" in self._saved_layer_state)
-        if self._saved_layer_state and not same_regime:
-            print("resume: snapshot is from the alternating regime; "
-                  "data-layer state and loss accumulators start fresh")
-        if same_regime and self._saved_layer_state["joint"] is not None:
-            layer.load_state_dict(self._saved_layer_state["joint"])
+        training_loss, _ = self._regime_restore("joint", {"joint": layer})
         if self.use_prefetch:
             layer = Prefetcher(layer)
         timer = Timer()
-        training_loss = (np.asarray(self._saved_training_loss).copy()
-                         if same_regime
-                         and self._saved_training_loss is not None
-                         else np.zeros((6,)))
         test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
+
+        def snap(it):
+            self.snapshot(it, test_loss_logs=test_loss_logs,
+                          data_layer_state={"joint": layer.state_dict()},
+                          training_loss=training_loss)
 
         # losses stay ON DEVICE in the hot loop (each host read is a device
         # round trip — ruinous through remote-attached TPUs) and are drained
@@ -448,15 +467,16 @@ class Solver:
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 pending = drain(pending)
                 last_snapshot_iter = it
-                self.snapshot(it, test_loss_logs=test_loss_logs,
-                              data_layer_state={"joint": layer.state_dict()},
-                              training_loss=training_loss)
+                snap(it)
 
-        if last_snapshot_iter != self.max_iters - 1:
+        # final snapshot — but ONLY if this run actually stepped: resuming
+        # an already-finished run must not overwrite the stored snapshot
+        # (that would replace its regime-keyed host state with this
+        # regime's fresh state and break a later exact resume)
+        if (last_snapshot_iter != self.max_iters - 1
+                and self.start_iter < self.max_iters):
             pending = drain(pending)
-            self.snapshot(self.max_iters - 1, test_loss_logs=test_loss_logs,
-                          data_layer_state={"joint": layer.state_dict()},
-                          training_loss=training_loss)
+            snap(self.max_iters - 1)
         layer.close()  # Prefetcher or bare layer; releases slot pools too
         self.logger.close()
 
@@ -513,25 +533,12 @@ class Solver:
             is_training=True, is_ws=True,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
             slots=self.n_slots)
-        # regime-keyed restore — see train_combined
-        same_regime = bool(self._saved_layer_state
-                           and "s" in self._saved_layer_state)
-        if self._saved_layer_state and not same_regime:
-            print("resume: snapshot is from the combined regime; "
-                  "data-layer state and loss accumulators start fresh")
-        if same_regime:
-            if self._saved_layer_state["s"] is not None:
-                layer_s.load_state_dict(self._saved_layer_state["s"])
-            if self._saved_layer_state.get("ws") is not None:
-                layer_ws.load_state_dict(self._saved_layer_state["ws"])
+        training_loss, carry = self._regime_restore(
+            "s", {"s": layer_s, "ws": layer_ws})
         if self.use_prefetch:
             layer_s, layer_ws = Prefetcher(layer_s), Prefetcher(layer_ws)
 
         timer = Timer()
-        training_loss = (np.asarray(self._saved_training_loss).copy()
-                         if same_regime
-                         and self._saved_training_loss is not None
-                         else np.zeros((6,)))
         test_loss_logs = list(self._saved_test_loss_logs)
         last_snapshot_iter = -1
         # the reference counts WS optimizer steps separately: the adaptive
@@ -545,12 +552,17 @@ class Solver:
         # boundary (see train_combined for why draining must be bounded)
         pending = []
 
-        # carry-forward logging like the reference (train_bus.py:362-399):
-        # iterations without a supervised step repeat the previous losses;
-        # the MIL slot starts at -log(1/3) before the first WS step
-        carry = (np.asarray(self._saved_carry).copy()
-                 if same_regime and self._saved_carry is not None
-                 else np.array([0, 0, 0, 0, 0, float(np.log(3.0))]))
+        # `carry` (from _regime_restore): carry-forward logging like the
+        # reference (train_bus.py:362-399) — iterations without a
+        # supervised step repeat the previous losses; the MIL slot starts
+        # at -log(1/3) before the first WS step
+
+        def snap(it):
+            self.snapshot(it, opt_state_ws=opt_state_ws,
+                          test_loss_logs=test_loss_logs, ws_step=ws_step,
+                          data_layer_state={"s": layer_s.state_dict(),
+                                            "ws": layer_ws.state_dict()},
+                          training_loss=training_loss, carry=carry)
 
         def to_np(pair):
             ls_i, mil_i = pair
@@ -605,19 +617,13 @@ class Solver:
             if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 pending = drain(pending)
                 last_snapshot_iter = it
-                self.snapshot(it, opt_state_ws=opt_state_ws,
-                              test_loss_logs=test_loss_logs, ws_step=ws_step,
-                              data_layer_state={"s": layer_s.state_dict(),
-                                                "ws": layer_ws.state_dict()},
-                              training_loss=training_loss, carry=carry)
+                snap(it)
 
-        if last_snapshot_iter != self.max_iters - 1:
+        # only if this run actually stepped — see train_combined
+        if (last_snapshot_iter != self.max_iters - 1
+                and self.start_iter < self.max_iters):
             pending = drain(pending)
-            self.snapshot(self.max_iters - 1, opt_state_ws=opt_state_ws,
-                          test_loss_logs=test_loss_logs, ws_step=ws_step,
-                          data_layer_state={"s": layer_s.state_dict(),
-                                            "ws": layer_ws.state_dict()},
-                          training_loss=training_loss, carry=carry)
+            snap(self.max_iters - 1)
         layer_s.close()  # Prefetcher or bare layer; releases slot pools too
         layer_ws.close()
         self.logger.close()

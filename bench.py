@@ -20,9 +20,9 @@ Measured v5e numbers (canvas 608x800): VGG16 single-image 206 img/s,
 batch-8 258, batch-16 271, batch-32 278, batch-48 279 (saturated at the
 trunk's conv roofline; batch-64 exhausts HBM — conv1 activations alone
 are ~160 MB/image — hence the batch-32 default, near-peak with memory
-headroom); ResNet-50 single 249 / batch-8 242 (per-ROI conv head
-dominates); ResNet-18 single 234 / batch-8 559 (light trunk is
-dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
+headroom); ResNet-50 single 249 / batch-8 242 / batch-32 251 (per-ROI
+conv head dominates); ResNet-18 single 234 / batch-8 559 / batch-32 647
+(light trunk is dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
 batch size because XLA already lowers f32 convs to single-pass bf16 MXU
 ops under the default precision.  Combined train step (1 supervised + 2
 weak images): 20.7 it/s f32, 21.3 it/s bf16, with donated train state;

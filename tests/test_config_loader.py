@@ -126,6 +126,22 @@ def test_prefetcher_order_and_error_propagation():
     pf2.close()  # close drains and stops cleanly
 
 
+def test_latest_checkpoint_skips_incomplete(tmp_path):
+    """A crash mid-write (overlapped or sync) leaves orbax staging dirs
+    and/or no variables dir; --resume must fall back to the newest
+    COMPLETE snapshot instead of failing on the half-written one."""
+    from wssdl_bus_tpu.train.checkpoint import latest_checkpoint
+
+    (tmp_path / "net_iter_2" / "variables").mkdir(parents=True)
+    half = tmp_path / "net_iter_5"
+    (half / "variables.orbax-checkpoint-tmp-123").mkdir(parents=True)
+    got = latest_checkpoint(str(tmp_path))
+    assert got is not None and got.endswith("net_iter_2")
+
+    (tmp_path / "net_iter_7" / "variables").mkdir(parents=True)
+    assert latest_checkpoint(str(tmp_path)).endswith("net_iter_7")
+
+
 def test_prefetcher_state_pairs_with_consumption():
     """Prefetcher.state_dict() must return the draw state paired with the
     last CONSUMED batch, not the worker's read-ahead position — restoring

@@ -23,14 +23,25 @@ def _ckpt_dir(output_dir: str, prefix: str, infix: str, step: int) -> str:
 
 def save_checkpoint(output_dir: str, prefix: str, infix: str, step: int,
                     variables, opt_state, opt_state_ws=None,
-                    host_state: Optional[dict] = None) -> str:
+                    host_state: Optional[dict] = None,
+                    checkpointer=None) -> str:
     """``opt_state_ws``: the alternating regime's second optimizer state.
     ``host_state``: picklable host-side training state (LR-schedule state,
-    RNG streams, loss logs) so --resume continues the exact trajectory."""
+    RNG streams, loss logs) so --resume continues the exact trajectory.
+
+    ``checkpointer``: a caller-owned ``orbax.checkpoint.StandardCheckpointer``
+    for OVERLAPPED writes — the tensor writes proceed on orbax's background
+    threads while training continues, and only the next save (or the
+    caller's ``wait_until_finished``) blocks on them.  At most one snapshot
+    is in flight: this function first waits out the previous one.  Without
+    it a one-shot checkpointer is used and the write is synchronous."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(output_dir, prefix, infix, step)
-    ckptr = ocp.StandardCheckpointer()
+    sync = checkpointer is None
+    ckptr = ocp.StandardCheckpointer() if sync else checkpointer
+    if not sync:
+        ckptr.wait_until_finished()  # bound in-flight snapshots to one
     state = {"variables": variables,
              "step": np.asarray(step, dtype=np.int64)}
     ckptr.save(os.path.join(path, "variables"), state, force=True)
@@ -39,7 +50,8 @@ def save_checkpoint(output_dir: str, prefix: str, infix: str, step: int,
     if opt_state_ws is not None:
         ckptr.save(os.path.join(path, "opt_state_ws"), opt_state_ws,
                    force=True)
-    ckptr.wait_until_finished()
+    if sync:
+        ckptr.wait_until_finished()
     if host_state is not None:
         import pickle
 
@@ -79,7 +91,19 @@ def load_host_state(path: str) -> Optional[dict]:
         return pickle.load(f)
 
 
+def _is_complete(path: str) -> bool:
+    """A snapshot directory is resumable iff its tensor saves finalized:
+    orbax writes into ``*.orbax-checkpoint-tmp-*`` staging dirs and renames
+    on completion, so a crash mid-write (sync or overlapped) leaves the
+    staging name behind and/or no ``variables`` dir."""
+    if not os.path.isdir(os.path.join(path, "variables")):
+        return False
+    return not any("orbax-checkpoint-tmp" in n for n in os.listdir(path))
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest COMPLETE snapshot in ``output_dir`` (half-written snapshots
+    from an interrupted run are skipped, falling back to the previous one)."""
     if not os.path.isdir(output_dir):
         return None
     best, best_step = None, -1
@@ -90,6 +114,7 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
             step = int(name.rsplit("_iter_", 1)[1])
         except ValueError:
             continue
-        if step > best_step and os.path.isdir(os.path.join(output_dir, name)):
-            best, best_step = os.path.join(output_dir, name), step
+        path = os.path.join(output_dir, name)
+        if step > best_step and os.path.isdir(path) and _is_complete(path):
+            best, best_step = path, step
     return best

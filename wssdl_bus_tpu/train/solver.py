@@ -124,6 +124,7 @@ class Solver:
         # accumulators — a resumed run reproduces the uninterrupted
         # trajectory exactly.
         self.start_iter = 0
+        self._snap_writer = None  # lazy orbax checkpointer, overlapped writes
         self._resume_ckpt = None
         self._saved_test_loss_logs = []
         self._saved_ws_step = 0
@@ -249,15 +250,29 @@ class Solver:
                 "carry": None if carry is None else np.asarray(carry)}
         # fetch to host first: snapshots must restore onto ANY device
         # topology (single chip or a different mesh), so nothing
-        # mesh-sharded may reach orbax
+        # mesh-sharded may reach orbax.  The host copies then flow to disk
+        # on orbax's background threads (one snapshot in flight) while
+        # training continues — at the reference's SNAPSHOT_ITERS=10 default
+        # a synchronous write would stall the loop every ~0.5 s of steps.
+        if self._snap_writer is None:
+            import orbax.checkpoint as ocp
+            self._snap_writer = ocp.StandardCheckpointer()
         path = save_checkpoint(self.output_dir, t.SNAPSHOT_PREFIX,
                                t.SNAPSHOT_INFIX, step + 1,
                                jax.device_get(self.variables),
                                jax.device_get(self.opt_state),
                                opt_state_ws=(None if opt_state_ws is None
                                              else jax.device_get(opt_state_ws)),
-                               host_state=host)
-        print(f"Wrote snapshot to: {path}")
+                               host_state=host,
+                               checkpointer=self._snap_writer)
+        print(f"Writing snapshot to: {path}")
+
+    def _finish_snapshots(self):
+        """Block until any in-flight overlapped snapshot write is durable —
+        call before leaving a training loop (a caller may immediately
+        --resume from, or evaluate, the final snapshot)."""
+        if self._snap_writer is not None:
+            self._snap_writer.wait_until_finished()
 
     # ------------------------------------------------------------------ #
     def _display(self, it: int, loss_vals):
@@ -477,6 +492,7 @@ class Solver:
                 and self.start_iter < self.max_iters):
             pending = drain(pending)
             snap(self.max_iters - 1)
+        self._finish_snapshots()
         layer.close()  # Prefetcher or bare layer; releases slot pools too
         self.logger.close()
 
@@ -624,6 +640,7 @@ class Solver:
                 and self.start_iter < self.max_iters):
             pending = drain(pending)
             snap(self.max_iters - 1)
+        self._finish_snapshots()
         layer_s.close()  # Prefetcher or bare layer; releases slot pools too
         layer_ws.close()
         self.logger.close()

@@ -141,6 +141,25 @@ def test_latest_checkpoint_skips_incomplete(tmp_path):
     (tmp_path / "net_iter_7" / "variables").mkdir(parents=True)
     assert latest_checkpoint(str(tmp_path)).endswith("net_iter_7")
 
+    # the host pickle (written FIRST, atomically) records which tensor
+    # components the snapshot carries; any missing one means a crash in
+    # the inter-save window and the snapshot must be skipped
+    import pickle
+
+    nine = tmp_path / "net_iter_9"
+    (nine / "variables").mkdir(parents=True)
+    with open(nine / "host_state.pkl", "wb") as f:
+        pickle.dump({"components": ["variables", "opt_state"]}, f)
+    assert latest_checkpoint(str(tmp_path)).endswith("net_iter_7")
+    (nine / "opt_state").mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("net_iter_9")
+
+    # a truncated host pickle is a mid-write crash, not a usable snapshot
+    eleven = tmp_path / "net_iter_11"
+    (eleven / "variables").mkdir(parents=True)
+    (eleven / "host_state.pkl").write_bytes(b"\x80\x05\x95")
+    assert latest_checkpoint(str(tmp_path)).endswith("net_iter_9")
+
 
 def test_prefetcher_state_pairs_with_consumption():
     """Prefetcher.state_dict() must return the draw state paired with the

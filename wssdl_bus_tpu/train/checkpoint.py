@@ -21,42 +21,74 @@ def _ckpt_dir(output_dir: str, prefix: str, infix: str, step: int) -> str:
                         f"{prefix}{infix}_iter_{step}")
 
 
+#: snapshot components, each written by its OWN orbax checkpointer so the
+#: writes overlap each other (and, with caller-owned writers, training):
+#: orbax's ``AsyncCheckpointer.save`` first waits out that checkpointer's
+#: previous save, so queueing three components on one writer would block
+#: the training thread on all but the last.
+COMPONENTS = ("variables", "opt_state", "opt_state_ws")
+
+
+def make_snapshot_writers() -> dict:
+    """Per-component checkpointers for overlapped snapshot writes; pass to
+    ``save_checkpoint(checkpointers=...)`` and wait with
+    ``wait_snapshot_writers`` before consuming the snapshot."""
+    import orbax.checkpoint as ocp
+
+    return {c: ocp.StandardCheckpointer() for c in COMPONENTS}
+
+
+def wait_snapshot_writers(writers: Optional[dict]) -> None:
+    for w in (writers or {}).values():
+        w.wait_until_finished()
+
+
 def save_checkpoint(output_dir: str, prefix: str, infix: str, step: int,
                     variables, opt_state, opt_state_ws=None,
                     host_state: Optional[dict] = None,
-                    checkpointer=None) -> str:
+                    checkpointers: Optional[dict] = None) -> str:
     """``opt_state_ws``: the alternating regime's second optimizer state.
     ``host_state``: picklable host-side training state (LR-schedule state,
     RNG streams, loss logs) so --resume continues the exact trajectory.
 
-    ``checkpointer``: a caller-owned ``orbax.checkpoint.StandardCheckpointer``
-    for OVERLAPPED writes — the tensor writes proceed on orbax's background
-    threads while training continues, and only the next save (or the
-    caller's ``wait_until_finished``) blocks on them.  At most one snapshot
-    is in flight: this function first waits out the previous one.  Without
-    it a one-shot checkpointer is used and the write is synchronous."""
-    import orbax.checkpoint as ocp
+    ``checkpointers``: caller-owned per-component checkpointers (from
+    ``make_snapshot_writers``) for OVERLAPPED writes — all tensor writes
+    proceed on orbax's background threads while training continues; orbax
+    itself serializes successive saves per component, bounding in-flight
+    host copies.  Without them the write is synchronous.
+
+    Write ordering makes crashes detectable by ``_is_complete``: the host
+    pickle (which records WHICH tensor components this snapshot has) is
+    written first via an atomic rename, then the tensor saves are queued;
+    orbax finalizes each component directory by renaming its staging dir,
+    so a snapshot whose flagged components all exist finalized is whole."""
+    import pickle
 
     path = _ckpt_dir(output_dir, prefix, infix, step)
-    sync = checkpointer is None
-    ckptr = ocp.StandardCheckpointer() if sync else checkpointer
-    if not sync:
-        ckptr.wait_until_finished()  # bound in-flight snapshots to one
+    os.makedirs(path, exist_ok=True)
+    host_state = dict(host_state or {})
+    host_state["components"] = ["variables"] + \
+        (["opt_state"] if opt_state is not None else []) + \
+        (["opt_state_ws"] if opt_state_ws is not None else [])
+    tmp = os.path.join(path, "host_state.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(host_state, f, pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, os.path.join(path, "host_state.pkl"))
+
+    sync = checkpointers is None
+    ckptrs = make_snapshot_writers() if sync else checkpointers
     state = {"variables": variables,
              "step": np.asarray(step, dtype=np.int64)}
-    ckptr.save(os.path.join(path, "variables"), state, force=True)
+    ckptrs["variables"].save(os.path.join(path, "variables"), state,
+                             force=True)
     if opt_state is not None:
-        ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+        ckptrs["opt_state"].save(os.path.join(path, "opt_state"), opt_state,
+                                 force=True)
     if opt_state_ws is not None:
-        ckptr.save(os.path.join(path, "opt_state_ws"), opt_state_ws,
-                   force=True)
+        ckptrs["opt_state_ws"].save(os.path.join(path, "opt_state_ws"),
+                                    opt_state_ws, force=True)
     if sync:
-        ckptr.wait_until_finished()
-    if host_state is not None:
-        import pickle
-
-        with open(os.path.join(path, "host_state.pkl"), "wb") as f:
-            pickle.dump(host_state, f, pickle.HIGHEST_PROTOCOL)
+        wait_snapshot_writers(ckptrs)
     return path
 
 
@@ -92,13 +124,26 @@ def load_host_state(path: str) -> Optional[dict]:
 
 
 def _is_complete(path: str) -> bool:
-    """A snapshot directory is resumable iff its tensor saves finalized:
-    orbax writes into ``*.orbax-checkpoint-tmp-*`` staging dirs and renames
-    on completion, so a crash mid-write (sync or overlapped) leaves the
-    staging name behind and/or no ``variables`` dir."""
+    """A snapshot directory is resumable iff EVERY tensor component it was
+    written with finalized: orbax writes into ``*.orbax-checkpoint-tmp-*``
+    staging dirs and renames on completion, so a crash mid-write (sync or
+    overlapped) leaves a staging name behind and/or a missing component.
+    The host pickle — written atomically BEFORE the tensor saves are
+    queued — records the component list; a snapshot without one (or with
+    a truncated one) predates that convention and is judged on the
+    ``variables`` dir alone."""
     if not os.path.isdir(os.path.join(path, "variables")):
         return False
-    return not any("orbax-checkpoint-tmp" in n for n in os.listdir(path))
+    if any("orbax-checkpoint-tmp" in n for n in os.listdir(path)):
+        return False
+    try:
+        host = load_host_state(path)
+    except Exception:
+        return False  # truncated host pickle: mid-write crash
+    for comp in (host or {}).get("components", []):
+        if not os.path.isdir(os.path.join(path, comp)):
+            return False
+    return True
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:

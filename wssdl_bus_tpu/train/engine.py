@@ -116,6 +116,8 @@ class Engine:
         self.dataset = dataset
         self.opt_name = opt_name
         self.selector_pair = selector_pair
+        self._tx = None
+        self._tx_key = ("opt", opt_name)  # see the tx property
 
         fh, fw = canvas_hw[0] // cfg.FEAT_STRIDE, canvas_hw[1] // cfg.FEAT_STRIDE
         self.anchors = jnp.asarray(shifted_anchors(
@@ -150,7 +152,23 @@ class Engine:
     def _static_key(self):
         return (dataclasses.astuple(self.model), self.cfg,
                 tuple(self.canvas_hw), self.n_s, self.n_ws, self.dataset,
-                self.opt_name, tuple(self.selector_pair))
+                self.opt_name, tuple(self.selector_pair), self._tx_key)
+
+    # The optimizer is part of the traced program (the jitted steps close
+    # over ``self.tx.update``), so it must participate in value identity.
+    # ``init()`` derives tx deterministically from (opt_name, cfg, backbone)
+    # — covered by the key fields above — but a HAND-ASSIGNED tx may be
+    # anything: the setter switches this engine's identity to the assigned
+    # object, so only engines sharing the very same tx object share
+    # compiled steps (conservative: may recompile, never wrong-shares).
+    @property
+    def tx(self):
+        return self._tx
+
+    @tx.setter
+    def tx(self, value):
+        self._tx = value
+        self._tx_key = ("custom", id(value))
 
     def __eq__(self, other):
         return (type(self) is type(other)
@@ -168,7 +186,10 @@ class Engine:
             mask = vgg_frozen_mask(params)
         else:
             mask = jax.tree_util.tree_map(lambda _: True, params)
-        self.tx = make_optimizer(self.opt_name, self.cfg, mask)
+        # bypass the tx setter: this tx is the deterministic product of the
+        # key fields (opt_name, cfg, backbone mask), so equal-config engines
+        # that each init() keep sharing compiled steps
+        self._tx = make_optimizer(self.opt_name, self.cfg, mask)
         opt_state = self.tx.init(params)
         return variables, opt_state
 

@@ -251,12 +251,14 @@ class Solver:
         # fetch to host first: snapshots must restore onto ANY device
         # topology (single chip or a different mesh), so nothing
         # mesh-sharded may reach orbax.  The host copies then flow to disk
-        # on orbax's background threads (one snapshot in flight) while
-        # training continues — at the reference's SNAPSHOT_ITERS=10 default
-        # a synchronous write would stall the loop every ~0.5 s of steps.
+        # on orbax's background threads (per-component writers; orbax
+        # serializes successive saves per component, bounding in-flight
+        # copies) while training continues — at the reference's
+        # SNAPSHOT_ITERS=10 default a synchronous write would stall the
+        # loop every ~0.5 s of steps.
         if self._snap_writer is None:
-            import orbax.checkpoint as ocp
-            self._snap_writer = ocp.StandardCheckpointer()
+            from wssdl_bus_tpu.train.checkpoint import make_snapshot_writers
+            self._snap_writer = make_snapshot_writers()
         path = save_checkpoint(self.output_dir, t.SNAPSHOT_PREFIX,
                                t.SNAPSHOT_INFIX, step + 1,
                                jax.device_get(self.variables),
@@ -264,15 +266,15 @@ class Solver:
                                opt_state_ws=(None if opt_state_ws is None
                                              else jax.device_get(opt_state_ws)),
                                host_state=host,
-                               checkpointer=self._snap_writer)
+                               checkpointers=self._snap_writer)
         print(f"Writing snapshot to: {path}")
 
     def _finish_snapshots(self):
         """Block until any in-flight overlapped snapshot write is durable —
         call before leaving a training loop (a caller may immediately
         --resume from, or evaluate, the final snapshot)."""
-        if self._snap_writer is not None:
-            self._snap_writer.wait_until_finished()
+        from wssdl_bus_tpu.train.checkpoint import wait_snapshot_writers
+        wait_snapshot_writers(self._snap_writer)
 
     # ------------------------------------------------------------------ #
     def _display(self, it: int, loss_vals):

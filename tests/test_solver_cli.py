@@ -68,6 +68,21 @@ def test_train_then_test_cli(tmp_path):
                    "Mean AP", "CorLoc ="):
         assert needle in txt, txt
 
+    # export the same snapshot to a serving artifact and serve a bundled
+    # image from it without the model-building path (main/export.py + serve)
+    from wssdl_bus_tpu.main.export import main as export_main
+    art = str(tmp_path / "artifact")
+    run_cli(export_main, [
+        "export.py", "--model", ckpt, "--out", art, "--batch_sizes", "1",
+        "--data_dir", DATA, "--set_cfgs", *SMALL_CFGS])
+    from wssdl_bus_tpu.data.dataset import get_imdb
+    from wssdl_bus_tpu.serve import load_serving
+    served = load_serving(art)
+    im = get_imdb("bus_test", DATA).read_image(0)
+    (scores, boxes), = served.detect([im])
+    assert scores.shape[1] == 3 and boxes.shape[1] == 12
+    assert np.isfinite(scores).all() and np.isfinite(boxes).all()
+
 
 def test_train_alter_cli(tmp_path):
     out = str(tmp_path / "alter")

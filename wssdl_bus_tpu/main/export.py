@@ -1,0 +1,81 @@
+"""Export a trained snapshot to a portable serving artifact.
+
+No reference analog — the reference "deploys" by re-running its TF1 graph
+builder against a ``.ckpt`` (``/root/reference/code/main/test.py:40-74``).
+Here the compiled inference program (StableHLO via :mod:`jax.export`), the
+weights, and the config are bundled into one directory that a serving
+process restores without any model-building code::
+
+    python -m wssdl_bus_tpu.main.export --model trained_model/run/..._iter_100 \
+        --out artifact/ --batch_sizes 1,32
+"""
+
+from __future__ import annotations
+
+import argparse
+import pprint
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Export a snapshot to a serving artifact")
+    parser.add_argument("--model", required=True, type=str,
+                        help="snapshot directory written by training")
+    parser.add_argument("--out", required=True, type=str,
+                        help="artifact output directory")
+    parser.add_argument("--batch_sizes", default="1", type=str,
+                        help="comma-separated device batch sizes to export")
+    parser.add_argument("--canvas", default=None, type=int, nargs=2,
+                        metavar=("H", "W"),
+                        help="static canvas; default derives from "
+                             "--imdb_test like main/test.py")
+    parser.add_argument("--imdb_test", default="bus_test", type=str)
+    from wssdl_bus_tpu.main.common import add_common_args, build_config, \
+        seed_all
+    add_common_args(parser)
+    args = parser.parse_args()
+    print("Called with args:")
+    print(args)
+
+    cfg = build_config(args)
+    print("Using config:")
+    pprint.pprint(cfg)
+    seed_all(args, cfg)
+
+    if args.canvas is not None:
+        canvas = tuple(args.canvas)
+    else:
+        from wssdl_bus_tpu.data.augment import max_canvas
+        from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+        imdb = get_imdb(args.imdb_test, args.data_dir)
+        roidb = prepare_roidb(imdb)
+        sizes = [(e["height"], e["width"]) for e in roidb]
+        canvas = max_canvas(sizes, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+    print(f"static canvas: {canvas}")
+
+    import jax
+
+    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.serve import export_serving
+    from wssdl_bus_tpu.train.checkpoint import load_checkpoint
+    from wssdl_bus_tpu.train.engine import Engine
+
+    model = build_detector(args.network, args.net_depth, args.norm_type,
+                           num_classes=3,
+                           gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
+                                      cfg.TRAIN.GN_MIN_CHS_PER_G))
+    eng = Engine(model, cfg, canvas, dataset=args.dataset)
+    variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
+    variables, step = load_checkpoint(args.model, variables)
+    print(f"restored snapshot at iter {step} from {args.model}")
+
+    batch_sizes = sorted({int(b) for b in args.batch_sizes.split(",")})
+    meta = export_serving(eng, variables, args.out, args.network,
+                          batch_sizes=batch_sizes)
+    print(f"exported {meta['net_name']} (canvas {meta['canvas_hw']}, "
+          f"batches {meta['batch_sizes']}, platform {meta['platform']}) "
+          f"to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Detect lesions in raw image files — the direct serving / demo CLI.
+
+No reference analog: the reference can only evaluate registered imdb splits
+(``/root/reference/code/main/test.py``); a deployed framework needs
+image-in / boxes-out serving.  Works from EITHER a serving artifact
+(written by ``main/export.py``) or a training snapshot::
+
+    python -m wssdl_bus_tpu.main.predict --artifact /tmp/artifact a.png b.png
+    python -m wssdl_bus_tpu.main.predict --model trained_model/run/..._iter_100 \
+        --out preds/ --vis *.png
+
+Writes ``predictions.json`` (per image: class / score / [x1,y1,x2,y2] in
+original pixel coordinates, reference detection post-processing: per-class
+score floor 0.05 + NMS ``cfg.TEST.NMS``) and, with ``--vis``, overlay PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _load_gray(path: str) -> np.ndarray:
+    from PIL import Image
+    im = np.asarray(Image.open(path))
+    if im.ndim == 3:  # RGB input: match the dataset's grayscale convention
+        im = np.asarray(Image.open(path).convert("L"))
+    return im
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Run detection on raw image files")
+    parser.add_argument("images", nargs="+", help="image file paths")
+    parser.add_argument("--artifact", default=None, type=str,
+                        help="serving artifact directory (main/export.py)")
+    parser.add_argument("--model", default=None, type=str,
+                        help="snapshot directory written by training")
+    parser.add_argument("--out", default="./predictions", type=str)
+    parser.add_argument("--thresh", default=0.5, type=float,
+                        help="minimum score for a reported detection")
+    parser.add_argument("--vis", action="store_true",
+                        help="save overlay PNGs next to predictions.json")
+    parser.add_argument("--batch", default=1, type=int,
+                        help="images per device step (snapshot mode; "
+                             "artifact mode uses the exported batch sizes)")
+    from wssdl_bus_tpu.main.common import add_common_args, build_config
+    add_common_args(parser)
+    args = parser.parse_args()
+    if (args.artifact is None) == (args.model is None):
+        parser.error("exactly one of --artifact / --model is required")
+
+    images = [_load_gray(p) for p in args.images]
+    os.makedirs(args.out, exist_ok=True)
+
+    from wssdl_bus_tpu.evaluate.detect import apply_nms_per_class
+
+    if args.artifact:
+        from wssdl_bus_tpu.serve import load_serving
+        served = load_serving(args.artifact)
+        cfg = served.cfg
+        results = []
+        i = 0
+        while i < len(images):
+            chunk = images[i:i + max(served.batch_sizes)]
+            results.extend(served.detect(chunk))
+            i += len(chunk)
+    else:
+        cfg = build_config(args)
+        import jax
+
+        from wssdl_bus_tpu.data.augment import max_canvas
+        from wssdl_bus_tpu.evaluate.detect import im_detect_batch
+        from wssdl_bus_tpu.models.detector import build_detector
+        from wssdl_bus_tpu.train.checkpoint import load_checkpoint
+        from wssdl_bus_tpu.train.engine import Engine
+
+        sizes = [im.shape[:2] for im in images]
+        canvas = max_canvas(sizes, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+        print(f"static canvas: {canvas}")
+        model = build_detector(args.network, args.net_depth, args.norm_type,
+                               num_classes=3,
+                               gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
+                                          cfg.TRAIN.GN_MIN_CHS_PER_G))
+        eng = Engine(model, cfg, canvas, dataset=args.dataset)
+        variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
+        variables, step = load_checkpoint(args.model, variables)
+        print(f"restored snapshot at iter {step} from {args.model}")
+        results = []
+        for i in range(0, len(images), args.batch):
+            chunk = images[i:i + args.batch]
+            results.extend(im_detect_batch(eng, variables, chunk,
+                                           args.network, canvas))
+
+    class_names = ("__background__", "benign", "malignant")
+    report = []
+    for path, im, (scores, boxes) in zip(args.images, images, results):
+        # reference post-processing: 0.05 score floor + per-class NMS
+        # (test_bus.py:359-386), then the CLI-level report threshold
+        dets = apply_nms_per_class(scores, boxes, len(class_names),
+                                   0.05, cfg.TEST.NMS)
+        entry = {"image": path, "detections": []}
+        for j in range(1, len(class_names)):
+            for x1, y1, x2, y2, s in dets[j]:
+                if s >= args.thresh:
+                    entry["detections"].append({
+                        "class": class_names[j], "score": float(s),
+                        "box": [float(x1), float(y1), float(x2), float(y2)]})
+        entry["detections"].sort(key=lambda d: -d["score"])
+        report.append(entry)
+        if args.vis:
+            from wssdl_bus_tpu.evaluate.visualize import draw_detections
+            img = draw_detections(im, {j: dets[j]
+                                       for j in range(1, len(class_names))},
+                                  class_names=class_names,
+                                  thresh=args.thresh)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            img.save(os.path.join(args.out, f"{stem}_pred.png"))
+
+    out_json = os.path.join(args.out, "predictions.json")
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    n_det = sum(len(e["detections"]) for e in report)
+    print(f"{len(report)} images, {n_det} detections >= {args.thresh} "
+          f"-> {out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,24 @@ def test_detect_pads_to_exported_batch(exported):
     np.testing.assert_array_equal(res2[1][1], solo_boxes)
 
 
+def test_detect_with_real_padding(exported, tmp_path):
+    """Artifact with ONLY batch-2 program: a single-image request must pad
+    with a blank canvas slot and decode identically to the live engine's
+    single-image path (padding must not perturb the real image's slots)."""
+    eng, variables, _, _ = exported
+    out = str(tmp_path / "b2only")
+    export_serving(eng, variables, out, "VGGnet_test", batch_sizes=(2,))
+    served = load_serving(out)
+    from wssdl_bus_tpu.evaluate.detect import im_detect
+    im = np.full((100, 120), 128, np.uint8)
+    im[30:60, 40:90] = 200
+    want_scores, want_boxes = im_detect(eng, variables, im, "VGGnet_test",
+                                        CANVAS)
+    (got_scores, got_boxes), = served.detect([im])
+    np.testing.assert_array_equal(want_scores, got_scores)
+    np.testing.assert_array_equal(want_boxes, got_boxes)
+
+
 def test_unexported_batch_raises(exported):
     _, _, out, _ = exported
     served = load_serving(out)

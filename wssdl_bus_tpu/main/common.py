@@ -43,6 +43,17 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "(VGG only)")
 
 
+def build_model(args, cfg: Config):
+    """The one CLI -> detector construction (shared by test / export /
+    predict so num_classes and the GN params cannot drift between them)."""
+    from wssdl_bus_tpu.models.detector import build_detector
+
+    return build_detector(args.network, args.net_depth, args.norm_type,
+                          num_classes=3,
+                          gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
+                                     cfg.TRAIN.GN_MIN_CHS_PER_G))
+
+
 def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--max_iters", default=60000, type=int)
     parser.add_argument("--s_start_iter", default=0, type=int)

@@ -55,15 +55,12 @@ def main():
 
     import jax
 
-    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.main.common import build_model
     from wssdl_bus_tpu.serve import export_serving
     from wssdl_bus_tpu.train.checkpoint import load_checkpoint
     from wssdl_bus_tpu.train.engine import Engine
 
-    model = build_detector(args.network, args.net_depth, args.norm_type,
-                           num_classes=3,
-                           gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
-                                      cfg.TRAIN.GN_MIN_CHS_PER_G))
+    model = build_model(args, cfg)
     eng = Engine(model, cfg, canvas, dataset=args.dataset)
     variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
     variables, step = load_checkpoint(args.model, variables)

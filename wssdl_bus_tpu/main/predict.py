@@ -25,10 +25,10 @@ import numpy as np
 
 def _load_gray(path: str) -> np.ndarray:
     from PIL import Image
-    im = np.asarray(Image.open(path))
-    if im.ndim == 3:  # RGB input: match the dataset's grayscale convention
-        im = np.asarray(Image.open(path).convert("L"))
-    return im
+    im = Image.open(path)
+    if im.mode != "L":  # RGB, paletted, 16-bit, ... -> the dataset's
+        im = im.convert("L")  # 8-bit grayscale convention
+    return np.asarray(im)
 
 
 def main():
@@ -59,32 +59,35 @@ def main():
     from wssdl_bus_tpu.evaluate.detect import apply_nms_per_class
 
     if args.artifact:
+        if args.cfg:
+            parser.error("--cfg applies to --model mode; an artifact carries "
+                         "its own config (host-side keys can still be "
+                         "adjusted with --set_cfgs)")
         from wssdl_bus_tpu.serve import load_serving
         served = load_serving(args.artifact)
-        cfg = served.cfg
+        # device-side keys (proposal budgets, canvas) are baked into the
+        # exported program; overrides adjust the host-side post-processing
+        # (e.g. TEST.NMS, TEST.CLS_AGNOSTIC_NMS)
+        cfg = served.cfg.with_overrides(args.set_cfgs) if args.set_cfgs \
+            else served.cfg
+        step = max(served.batch_sizes)
         results = []
-        i = 0
-        while i < len(images):
-            chunk = images[i:i + max(served.batch_sizes)]
-            results.extend(served.detect(chunk))
-            i += len(chunk)
+        for i in range(0, len(images), step):
+            results.extend(served.detect(images[i:i + step]))
     else:
         cfg = build_config(args)
         import jax
 
         from wssdl_bus_tpu.data.augment import max_canvas
         from wssdl_bus_tpu.evaluate.detect import im_detect_batch
-        from wssdl_bus_tpu.models.detector import build_detector
+        from wssdl_bus_tpu.main.common import build_model
         from wssdl_bus_tpu.train.checkpoint import load_checkpoint
         from wssdl_bus_tpu.train.engine import Engine
 
         sizes = [im.shape[:2] for im in images]
         canvas = max_canvas(sizes, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
         print(f"static canvas: {canvas}")
-        model = build_detector(args.network, args.net_depth, args.norm_type,
-                               num_classes=3,
-                               gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
-                                          cfg.TRAIN.GN_MIN_CHS_PER_G))
+        model = build_model(args, cfg)
         eng = Engine(model, cfg, canvas, dataset=args.dataset)
         variables, _ = eng.init(jax.random.PRNGKey(cfg.RNG_SEED))
         variables, step = load_checkpoint(args.model, variables)
@@ -98,25 +101,28 @@ def main():
     class_names = ("__background__", "benign", "malignant")
     report = []
     for path, im, (scores, boxes) in zip(args.images, images, results):
-        # reference post-processing: 0.05 score floor + per-class NMS
-        # (test_bus.py:359-386), then the CLI-level report threshold
+        # reference post-processing: 0.05 score floor + per-class NMS (+
+        # optional class-agnostic second pass, test_bus.py:359-386), then
+        # the CLI-level report threshold
         dets = apply_nms_per_class(scores, boxes, len(class_names),
-                                   0.05, cfg.TEST.NMS)
+                                   0.05, cfg.TEST.NMS,
+                                   cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
+        kept = {j: dets[j][dets[j][:, 4] >= args.thresh]
+                for j in range(1, len(class_names))}
         entry = {"image": path, "detections": []}
         for j in range(1, len(class_names)):
-            for x1, y1, x2, y2, s in dets[j]:
-                if s >= args.thresh:
-                    entry["detections"].append({
-                        "class": class_names[j], "score": float(s),
-                        "box": [float(x1), float(y1), float(x2), float(y2)]})
+            for x1, y1, x2, y2, s in kept[j]:
+                entry["detections"].append({
+                    "class": class_names[j], "score": float(s),
+                    "box": [float(x1), float(y1), float(x2), float(y2)]})
         entry["detections"].sort(key=lambda d: -d["score"])
         report.append(entry)
         if args.vis:
             from wssdl_bus_tpu.evaluate.visualize import draw_detections
-            img = draw_detections(im, {j: dets[j]
-                                       for j in range(1, len(class_names))},
-                                  class_names=class_names,
-                                  thresh=args.thresh)
+            # draw exactly the reported set (already thresholded above)
+            img = draw_detections(im, kept, class_names=class_names,
+                                  thresh=-1.0,
+                                  max_dets=max(1, len(entry["detections"])))
             stem = os.path.splitext(os.path.basename(path))[0]
             img.save(os.path.join(args.out, f"{stem}_pred.png"))
 

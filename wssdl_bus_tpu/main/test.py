@@ -35,7 +35,7 @@ def main():
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
     from wssdl_bus_tpu.evaluate.detect import test_net
-    from wssdl_bus_tpu.models.detector import build_detector
+    from wssdl_bus_tpu.main.common import build_model
     from wssdl_bus_tpu.train.checkpoint import load_checkpoint
 
     imdb = get_imdb(args.imdb_test, args.data_dir)
@@ -47,10 +47,7 @@ def main():
 
     import jax
 
-    model = build_detector(args.network, args.net_depth, args.norm_type,
-                           num_classes=3,
-                           gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
-                                      cfg.TRAIN.GN_MIN_CHS_PER_G))
+    model = build_model(args, cfg)
     batch_size = args.batch_size
     from wssdl_bus_tpu.parallel import build_engine
     eng = build_engine(model, cfg, canvas, args.mesh_data, args.mesh_model,

@@ -82,9 +82,10 @@ def export_serving(eng, variables, out_dir: str, net_name: str,
 
     os.makedirs(out_dir, exist_ok=True)
     h, w = eng.canvas_hw
+    # one device->host fetch, reused for the shape specs and the msgpack
+    host_vars = jax.tree.map(np.asarray, variables)
     var_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        variables)
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
 
     step = jax.jit(lambda v, d, i: eng._inference_impl(v, d, i))
     for b in batch_sizes:
@@ -97,8 +98,7 @@ def export_serving(eng, variables, out_dir: str, net_name: str,
 
     from flax import serialization
     with open(os.path.join(out_dir, _VARS), "wb") as f:
-        f.write(serialization.msgpack_serialize(
-            jax.tree.map(np.asarray, variables)))
+        f.write(serialization.msgpack_serialize(host_vars))
 
     meta = {
         "format": _FORMAT,

@@ -110,7 +110,16 @@ def load_pretrained_npy(path: str, variables: dict, backbone: str,
     if hasattr(data, "item"):
         data = data.item()
     assert isinstance(data, dict), f"unexpected npy payload in {path}"
+    return load_pretrained_dict(data, variables, backbone, verbose=verbose,
+                                min_loaded=min_loaded, source=path)
 
+
+def load_pretrained_dict(data: dict, variables: dict, backbone: str,
+                         verbose: bool = False, min_loaded: int = 0,
+                         source: str = "<dict>") -> dict:
+    """Core of the importer: assign a ``{scope: {var_name: value}}`` dict
+    into a copy of ``variables`` (see module docstring for the matching
+    rules)."""
     variables = copy.deepcopy(jax_to_numpy(variables))
     flat = _flatten(variables)
     # (collection, semantic scope, leaf) -> [full paths]
@@ -160,13 +169,99 @@ def load_pretrained_npy(path: str, variables: dict, backbone: str,
             node[p[-1]] = value.astype(np.float32)
             n_loaded += 1
     if verbose:
-        print(f"loaded {n_loaded} pretrained arrays from {path}")
+        print(f"loaded {n_loaded} pretrained arrays from {source}")
     if n_loaded < min_loaded:
         raise ValueError(
-            f"pretrained import matched only {n_loaded} arrays from {path} "
-            f"(expected >= {min_loaded}); checkpoint scope names likely do "
-            f"not correspond to the {backbone} graph")
+            f"pretrained import matched only {n_loaded} arrays from "
+            f"{source} (expected >= {min_loaded}); checkpoint scope names "
+            f"likely do not correspond to the {backbone} graph")
     return variables
+
+
+# --------------------------------------------------------------------- #
+# torchvision VGG16 import
+# --------------------------------------------------------------------- #
+# (flat reference scope, torchvision features index) for the 13 convs
+_TV_VGG16_LAYERS = (
+    ("conv1_1", 0), ("conv1_2", 2), ("conv2_1", 5), ("conv2_2", 7),
+    ("conv3_1", 10), ("conv3_2", 12), ("conv3_3", 14),
+    ("conv4_1", 17), ("conv4_2", 19), ("conv4_3", 21),
+    ("conv5_1", 24), ("conv5_2", 26), ("conv5_3", 28),
+)
+# torchvision's ImageNet input normalization (vgg16 weight card)
+_TV_MEAN = (0.485, 0.456, 0.406)
+_TV_STD = (0.229, 0.224, 0.225)
+
+
+def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = 68.274,
+                                   fold_normalization: bool = True) -> dict:
+    """torchvision ``vgg16`` state_dict -> the reference's ``.npy`` layout
+    ``{scope: {'weights': HWIO, 'biases': [C]}}``.
+
+    The reference's published ``.npy`` weights are caffe-era (BGR, 0-255
+    pixel scale); torchvision's are the obtainable modern alternative but
+    expect ``(x - mean) / std`` on 0-1 RGB input, while this pipeline feeds
+    VGG ``raw_gray - PIXEL_MEAN`` replicated across 3 channels
+    (data/augment.py prep_image, blob.py:74-77 parity).  With
+    ``fold_normalization`` the difference is folded into conv1_1 EXACTLY:
+
+        z_c = (y/255 + m - mu_c) / sigma_c          (y = our input channel,
+                                                     m = PIXEL_MEAN/255)
+        => W'_c = W_c / (255 sigma_c)
+           b'   = b + sum_c ((m - mu_c)/sigma_c) * sum_hw W_c
+
+    so the converted trunk computes exactly what torchvision's does on the
+    equivalently-normalized image (oracle-tested against torch forward in
+    tests/test_torchvision_import.py).  The 4096-wide classifier layers are
+    NOT emitted — the BUS heads are 512-wide and train from scratch, like
+    the reference's ignore-missing skip (network.py:52-66).
+
+    ResNet is deliberately unsupported: torchvision's resnets are post-
+    activation, the reference's are tensorpack-style pre-activation
+    (Resnet_train_bus.py:55-101) — the graphs do not correspond.
+    """
+    out = {}
+    for scope, idx in _TV_VGG16_LAYERS:
+        w = np.asarray(state_dict[f"features.{idx}.weight"], np.float32)
+        b = np.asarray(state_dict[f"features.{idx}.bias"], np.float32)
+        w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO (flax/TF layout)
+        if scope == "conv1_1" and fold_normalization:
+            m = pixel_mean / 255.0
+            scale = np.asarray([1.0 / (255.0 * s) for s in _TV_STD],
+                               np.float32)
+            shift = np.asarray([(m - mu) / s
+                                for mu, s in zip(_TV_MEAN, _TV_STD)],
+                               np.float32)
+            b = b + np.einsum("hwio,i->o", w, shift)
+            w = w * scale[None, None, :, None]
+        out[scope] = {"weights": w, "biases": b}
+    return out
+
+
+def load_pretrained_torchvision(path_or_state_dict, variables: dict,
+                                backbone: str, verbose: bool = False,
+                                min_loaded: int = 0,
+                                pixel_mean: float = 68.274) -> dict:
+    """Load torchvision ``vgg16`` weights (a ``.pth``/``.pt`` file or an
+    in-memory state_dict) into the VGG trunk — see
+    :func:`torchvision_vgg16_to_reference` for the normalization folding."""
+    if backbone != "VGGnet":
+        raise ValueError(
+            "torchvision import supports VGG16 only: torchvision resnets "
+            "are post-activation, the reference's are pre-activation "
+            "(use a tensorpack-style .npy for ResNet)")
+    sd = path_or_state_dict
+    if isinstance(sd, str):
+        import torch
+        sd = torch.load(sd, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: np.asarray(v) for k, v in dict(sd).items()
+          if k.startswith("features.")}
+    data = torchvision_vgg16_to_reference(sd, pixel_mean=pixel_mean)
+    return load_pretrained_dict(data, variables, backbone, verbose=verbose,
+                                min_loaded=min_loaded,
+                                source="torchvision vgg16")
 
 
 def jax_to_numpy(tree):

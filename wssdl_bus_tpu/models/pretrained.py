@@ -210,11 +210,17 @@ def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = 68.274,
         => W'_c = W_c / (255 sigma_c)
            b'   = b + sum_c ((m - mu_c)/sigma_c) * sum_hw W_c
 
-    so the converted trunk computes exactly what torchvision's does on the
-    equivalently-normalized image (oracle-tested against torch forward in
-    tests/test_torchvision_import.py).  The 4096-wide classifier layers are
-    NOT emitted — the BUS heads are 512-wide and train from scratch, like
-    the reference's ignore-missing skip (network.py:52-66).
+    so the converted trunk computes exactly what torchvision's does
+    wherever a 3x3 window lies inside the image (oracle-tested against
+    torch forward in tests/test_torchvision_import.py).  At zero-padded
+    conv borders the conventions inherently differ — each pipeline pads
+    with zeros in its OWN input space, and zero-in-pixel-space is not
+    zero-in-normalized-space — by the folded shift times the out-of-image
+    kernel taps; empirically this dilutes to ~1e-6 absolute by the final
+    stride-16 features and is immaterial for a transfer-learning init.
+    The 4096-wide classifier layers are NOT emitted — the BUS heads are
+    512-wide and train from scratch, like the reference's ignore-missing
+    skip (network.py:52-66).
 
     ResNet is deliberately unsupported: torchvision's resnets are post-
     activation, the reference's are tensorpack-style pre-activation
@@ -236,6 +242,21 @@ def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = 68.274,
             w = w * scale[None, None, :, None]
         out[scope] = {"weights": w, "biases": b}
     return out
+
+
+def load_pretrained_auto(path: str, variables: dict, backbone: str,
+                         verbose: bool = False, min_loaded: int = 0,
+                         pixel_mean: float = 68.274) -> dict:
+    """Dispatch on the checkpoint's extension: ``.pth``/``.pt`` loads a
+    torchvision vgg16 state_dict, anything else the reference's ``.npy``
+    dict.  The Solver's ``--pretrained_model`` path."""
+    if path.endswith((".pth", ".pt")):
+        return load_pretrained_torchvision(path, variables, backbone,
+                                           verbose=verbose,
+                                           min_loaded=min_loaded,
+                                           pixel_mean=pixel_mean)
+    return load_pretrained_npy(path, variables, backbone, verbose=verbose,
+                               min_loaded=min_loaded)
 
 
 def load_pretrained_torchvision(path_or_state_dict, variables: dict,

@@ -107,22 +107,13 @@ class Solver:
         self.variables, self.opt_state = self.eng.init(
             jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed))
         if pretrained:
-            from wssdl_bus_tpu.models.pretrained import (
-                load_pretrained_npy, load_pretrained_torchvision)
+            from wssdl_bus_tpu.models.pretrained import load_pretrained_auto
             # min_loaded=1: fail fast if the checkpoint's scope names match
             # NOTHING (ignore-missing semantics would otherwise train from
             # scratch while claiming success)
-            if pretrained.endswith((".pth", ".pt")):
-                # torchvision vgg16 state_dict (normalization folded into
-                # conv1_1, see models/pretrained.py)
-                self.variables = load_pretrained_torchvision(
-                    pretrained, self.variables, self.eng.model.backbone,
-                    verbose=True, min_loaded=1,
-                    pixel_mean=self.cfg.PIXEL_MEAN)
-            else:
-                self.variables = load_pretrained_npy(
-                    pretrained, self.variables, self.eng.model.backbone,
-                    verbose=True, min_loaded=1)
+            self.variables = load_pretrained_auto(
+                pretrained, self.variables, self.eng.model.backbone,
+                verbose=True, min_loaded=1, pixel_mean=self.cfg.PIXEL_MEAN)
 
         # mid-training resume — a capability the reference LACKS (its
         # checkpoints are only ever consumed by test.py, SURVEY.md §5.4).

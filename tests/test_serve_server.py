@@ -1,0 +1,92 @@
+"""HTTP detection server (serve/server.py) against a CPU artifact: health,
+detection schema parity with the predict path, error handling."""
+
+import http.client
+import io
+import json
+import threading
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.models.detector import FasterRCNN
+from wssdl_bus_tpu.serve import export_serving, report_detections
+from wssdl_bus_tpu.serve.server import serve
+from wssdl_bus_tpu.train.engine import Engine
+
+CANVAS = (96, 128)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = Config().with_overrides([
+        "TEST.RPN_PRE_NMS_TOP_N", "200", "TEST.RPN_POST_NMS_TOP_N", "32",
+        "TEST.SCALES", "(90,)", "TEST.MAX_SIZE", "128",
+    ])
+    model = FasterRCNN(backbone="VGGnet")
+    eng = Engine(model, cfg, CANVAS)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+    art = str(tmp_path_factory.mktemp("srv_artifact"))
+    export_serving(eng, variables, art, "VGGnet_test", batch_sizes=(1,))
+
+    httpd = serve(art, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd, eng, variables
+    httpd.shutdown()
+
+
+def _png_bytes(im: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(im).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _request(httpd, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                      timeout=120)
+    conn.request(method, path, body=body)
+    r = conn.getresponse()
+    out = (r.status, json.loads(r.read().decode()))
+    conn.close()
+    return out
+
+
+def test_healthz(server):
+    httpd, _, _ = server
+    code, obj = _request(httpd, "GET", "/healthz")
+    assert code == 200
+    assert obj["status"] == "ok"
+    assert obj["batch_sizes"] == [1]
+    assert obj["canvas_hw"] == list(CANVAS)
+
+
+def test_detect_matches_library_path(server):
+    httpd, eng, variables = server
+    im = np.full((100, 120), 128, np.uint8)
+    im[30:60, 40:90] = 200
+    code, obj = _request(httpd, "POST", "/detect?thresh=0.0",
+                         body=_png_bytes(im))
+    assert code == 200
+    assert obj["image_hw"] == [100, 120]
+
+    from wssdl_bus_tpu.evaluate.detect import im_detect
+    scores, boxes = im_detect(eng, variables, im, "VGGnet_test", CANVAS)
+    want, _ = report_detections(scores, boxes, eng.cfg, thresh=0.0)
+    assert obj["detections"] == json.loads(json.dumps(want))
+
+
+def test_bad_requests(server):
+    httpd, _, _ = server
+    code, obj = _request(httpd, "GET", "/nope")
+    assert code == 404
+    code, obj = _request(httpd, "POST", "/detect")
+    assert code == 400 and "empty" in obj["error"]
+    code, obj = _request(httpd, "POST", "/detect", body=b"not an image")
+    assert code == 400
+    code, obj = _request(httpd, "POST", "/detect?thresh=abc",
+                         body=b"x")
+    assert code == 400

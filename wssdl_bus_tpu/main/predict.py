@@ -56,8 +56,6 @@ def main():
     images = [_load_gray(p) for p in args.images]
     os.makedirs(args.out, exist_ok=True)
 
-    from wssdl_bus_tpu.evaluate.detect import apply_nms_per_class
-
     if args.artifact:
         if args.cfg:
             parser.error("--cfg applies to --model mode; an artifact carries "
@@ -98,24 +96,13 @@ def main():
             results.extend(im_detect_batch(eng, variables, chunk,
                                            args.network, canvas))
 
-    class_names = ("__background__", "benign", "malignant")
+    from wssdl_bus_tpu.serve import CLASS_NAMES, report_detections
+    class_names = CLASS_NAMES
     report = []
     for path, im, (scores, boxes) in zip(args.images, images, results):
-        # reference post-processing: 0.05 score floor + per-class NMS (+
-        # optional class-agnostic second pass, test_bus.py:359-386), then
-        # the CLI-level report threshold
-        dets = apply_nms_per_class(scores, boxes, len(class_names),
-                                   0.05, cfg.TEST.NMS,
-                                   cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
-        kept = {j: dets[j][dets[j][:, 4] >= args.thresh]
-                for j in range(1, len(class_names))}
-        entry = {"image": path, "detections": []}
-        for j in range(1, len(class_names)):
-            for x1, y1, x2, y2, s in kept[j]:
-                entry["detections"].append({
-                    "class": class_names[j], "score": float(s),
-                    "box": [float(x1), float(y1), float(x2), float(y2)]})
-        entry["detections"].sort(key=lambda d: -d["score"])
+        detections, kept = report_detections(scores, boxes, cfg,
+                                             thresh=args.thresh)
+        entry = {"image": path, "detections": detections}
         report.append(entry)
         if args.vis:
             from wssdl_bus_tpu.evaluate.visualize import draw_detections

@@ -186,6 +186,34 @@ class ServingModel:
         return _decode_packed(self, images, scales, outs)
 
 
+CLASS_NAMES = ("__background__", "benign", "malignant")
+
+
+def report_detections(scores, boxes, cfg, thresh: float = 0.5,
+                      class_names=CLASS_NAMES) -> list:
+    """(scores [N, C], pred_boxes [N, 4C]) -> sorted report entries
+    ``{"class", "score", "box"}``, applying the reference detection
+    post-processing (0.05 score floor + per-class NMS + optional
+    class-agnostic second pass, test_bus.py:359-386) and then the
+    caller's report threshold.  Shared by the predict CLI and the HTTP
+    server so their outputs cannot drift."""
+    from wssdl_bus_tpu.evaluate.detect import apply_nms_per_class
+
+    dets = apply_nms_per_class(scores, boxes, len(class_names), 0.05,
+                               cfg.TEST.NMS,
+                               cls_agnostic=cfg.TEST.CLS_AGNOSTIC_NMS)
+    kept = {j: dets[j][dets[j][:, 4] >= thresh]
+            for j in range(1, len(class_names))}
+    out = []
+    for j in range(1, len(class_names)):
+        for x1, y1, x2, y2, s in kept[j]:
+            out.append({"class": class_names[j], "score": float(s),
+                        "box": [float(x1), float(y1), float(x2),
+                                float(y2)]})
+    out.sort(key=lambda d: -d["score"])
+    return out, kept
+
+
 def load_serving(path: str) -> ServingModel:
     """Restore a :func:`export_serving` artifact directory."""
     with open(os.path.join(path, _META)) as f:

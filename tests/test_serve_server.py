@@ -86,7 +86,31 @@ def test_bad_requests(server):
     code, obj = _request(httpd, "POST", "/detect")
     assert code == 400 and "empty" in obj["error"]
     code, obj = _request(httpd, "POST", "/detect", body=b"not an image")
+    assert code == 400 and "decode" in obj["error"]
+    code, obj = _request(httpd, "POST", "/detect?thresh=abc", body=b"x")
     assert code == 400
-    code, obj = _request(httpd, "POST", "/detect?thresh=abc",
-                         body=b"x")
+    # non-finite thresholds are rejected (NaN would silently drop all
+    # detections and is invalid JSON for strict clients)
+    code, obj = _request(httpd, "POST", "/detect?thresh=nan", body=b"x")
     assert code == 400
+    code, obj = _request(httpd, "POST", "/detect?thresh=inf", body=b"x")
+    assert code == 400
+
+
+def test_oversized_body_rejected(server, monkeypatch):
+    import wssdl_bus_tpu.serve.server as srv
+    httpd, _, _ = server
+    monkeypatch.setattr(srv, "MAX_BODY_BYTES", 16)
+    code, obj = _request(httpd, "POST", "/detect", body=b"x" * 17)
+    assert code == 413
+
+
+def test_internal_fault_is_500(server, monkeypatch):
+    httpd, _, _ = server
+    im = np.full((40, 40), 128, np.uint8)
+
+    def boom(images):
+        raise RuntimeError("device fell over")
+    monkeypatch.setattr(httpd.service.served, "detect", boom)
+    code, obj = _request(httpd, "POST", "/detect", body=_png_bytes(im))
+    assert code == 500 and "device fell over" in obj["error"]

@@ -154,3 +154,12 @@ def test_auto_dispatch_pth_file(tv_vgg, tmp_path):
 def test_resnet_rejected(tv_vgg):
     with pytest.raises(ValueError, match="pre-activation"):
         load_pretrained_torchvision(tv_vgg.state_dict(), {}, "Resnet")
+
+
+def test_non_vgg16_layout_rejected(tv_vgg):
+    """A vgg16_bn-style state_dict (conv indices shifted by the BN modules)
+    must fail with a clear diagnostic, not a KeyError."""
+    sd = {k: v for k, v in tv_vgg.state_dict().items()}
+    sd["features.1.weight"] = sd.pop("features.2.weight")  # bn-ish shift
+    with pytest.raises(ValueError, match="vgg16"):
+        torchvision_vgg16_to_reference(sd, pixel_mean=PIXEL_MEAN)

@@ -193,7 +193,14 @@ _TV_MEAN = (0.485, 0.456, 0.406)
 _TV_STD = (0.229, 0.224, 0.225)
 
 
-def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = 68.274,
+def _resolve_pixel_mean(pixel_mean):
+    if pixel_mean is None:
+        from wssdl_bus_tpu.config import Config
+        return Config().PIXEL_MEAN
+    return pixel_mean
+
+
+def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = None,
                                    fold_normalization: bool = True) -> dict:
     """torchvision ``vgg16`` state_dict -> the reference's ``.npy`` layout
     ``{scope: {'weights': HWIO, 'biases': [C]}}``.
@@ -226,6 +233,14 @@ def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = 68.274,
     activation, the reference's are tensorpack-style pre-activation
     (Resnet_train_bus.py:55-101) — the graphs do not correspond.
     """
+    pixel_mean = _resolve_pixel_mean(pixel_mean)
+    missing = [f"features.{i}.weight" for _, i in _TV_VGG16_LAYERS
+               if f"features.{i}.weight" not in state_dict]
+    if missing:
+        raise ValueError(
+            "state_dict does not match torchvision's plain vgg16 'features' "
+            f"layout (missing {missing[:3]}{'...' if len(missing) > 3 else ''}); "
+            "only torchvision.models.vgg16 (no _bn variant) is supported")
     out = {}
     for scope, idx in _TV_VGG16_LAYERS:
         w = np.asarray(state_dict[f"features.{idx}.weight"], np.float32)
@@ -246,7 +261,7 @@ def torchvision_vgg16_to_reference(state_dict, pixel_mean: float = 68.274,
 
 def load_pretrained_auto(path: str, variables: dict, backbone: str,
                          verbose: bool = False, min_loaded: int = 0,
-                         pixel_mean: float = 68.274) -> dict:
+                         pixel_mean: float = None) -> dict:
     """Dispatch on the checkpoint's extension: ``.pth``/``.pt`` loads a
     torchvision vgg16 state_dict, anything else the reference's ``.npy``
     dict.  The Solver's ``--pretrained_model`` path."""
@@ -262,7 +277,7 @@ def load_pretrained_auto(path: str, variables: dict, backbone: str,
 def load_pretrained_torchvision(path_or_state_dict, variables: dict,
                                 backbone: str, verbose: bool = False,
                                 min_loaded: int = 0,
-                                pixel_mean: float = 68.274) -> dict:
+                                pixel_mean: float = None) -> dict:
     """Load torchvision ``vgg16`` weights (a ``.pth``/``.pt`` file or an
     in-memory state_dict) into the VGG trunk — see
     :func:`torchvision_vgg16_to_reference` for the normalization folding."""

@@ -186,17 +186,18 @@ class ServingModel:
         return _decode_packed(self, images, scales, outs)
 
 
-CLASS_NAMES = ("__background__", "benign", "malignant")
+from wssdl_bus_tpu.data.dataset import CLASSES as CLASS_NAMES  # noqa: E402
 
 
 def report_detections(scores, boxes, cfg, thresh: float = 0.5,
-                      class_names=CLASS_NAMES) -> list:
-    """(scores [N, C], pred_boxes [N, 4C]) -> sorted report entries
-    ``{"class", "score", "box"}``, applying the reference detection
-    post-processing (0.05 score floor + per-class NMS + optional
-    class-agnostic second pass, test_bus.py:359-386) and then the
-    caller's report threshold.  Shared by the predict CLI and the HTTP
-    server so their outputs cannot drift."""
+                      class_names=CLASS_NAMES) -> "tuple[list, dict]":
+    """(scores [N, C], pred_boxes [N, 4C]) -> ``(entries, kept)``: sorted
+    report entries ``{"class", "score", "box"}`` plus the per-class
+    ``{class_index: [n, 5]}`` arrays behind them (for overlays), applying
+    the reference detection post-processing (0.05 score floor + per-class
+    NMS + optional class-agnostic second pass, test_bus.py:359-386) and
+    then the caller's report threshold.  Shared by the predict CLI and the
+    HTTP server so their outputs cannot drift."""
     from wssdl_bus_tpu.evaluate.detect import apply_nms_per_class
 
     dets = apply_nms_per_class(scores, boxes, len(class_names), 0.05,

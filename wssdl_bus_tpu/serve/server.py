@@ -23,10 +23,17 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+MAX_BODY_BYTES = 64 * 1024 * 1024  # generous for any single medical image
+
+
+class BadImage(ValueError):
+    """The request body could not be decoded as an image (client error)."""
 
 
 class DetectionService:
@@ -49,10 +56,13 @@ class DetectionService:
         from PIL import Image
 
         from wssdl_bus_tpu.serve import report_detections
-        im = Image.open(io.BytesIO(payload))
-        if im.mode != "L":
-            im = im.convert("L")
-        im = np.asarray(im)
+        try:
+            im = Image.open(io.BytesIO(payload))
+            if im.mode != "L":
+                im = im.convert("L")
+            im = np.asarray(im)
+        except Exception as e:
+            raise BadImage(f"cannot decode image: {e}") from e
         with self._lock:
             (scores, boxes), = self.served.detect([im])
         detections, _ = report_detections(scores, boxes, self.served.cfg,
@@ -88,17 +98,32 @@ def make_handler(service: DetectionService):
                     try:
                         thresh = float(kv.split("=", 1)[1])
                     except ValueError:
+                        thresh = float("nan")
+                    if not math.isfinite(thresh):
                         self._reply(400, {"error": "bad thresh"})
                         return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._reply(400, {"error": "bad Content-Length"})
+                return
             if n <= 0:
                 self._reply(400, {"error": "empty body (send image bytes)"})
                 return
+            if n > MAX_BODY_BYTES:
+                self._reply(413, {"error": f"body exceeds {MAX_BODY_BYTES} "
+                                           "bytes"})
+                return
             payload = self.rfile.read(n)
             try:
-                self._reply(200, service.detect_bytes(payload, thresh))
-            except Exception as e:  # decode/shape errors -> client error
+                result = service.detect_bytes(payload, thresh)
+            except BadImage as e:
                 self._reply(400, {"error": str(e)})
+            except Exception as e:
+                # anything else (missing program, device failure) is OURS
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            else:
+                self._reply(200, result)
 
         def log_message(self, fmt, *a):  # quiet by default
             pass
@@ -109,6 +134,7 @@ def make_handler(service: DetectionService):
 def serve(artifact_dir: str, host: str = "127.0.0.1", port: int = 8000):
     service = DetectionService(artifact_dir)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service  # exposed for tests / embedding
     return httpd
 
 

@@ -78,10 +78,26 @@ def test_train_then_test_cli(tmp_path):
     from wssdl_bus_tpu.data.dataset import get_imdb
     from wssdl_bus_tpu.serve import load_serving
     served = load_serving(art)
-    im = get_imdb("bus_test", DATA).read_image(0)
+    imdb = get_imdb("bus_test", DATA)
+    im = imdb.read_image(0)
     (scores, boxes), = served.detect([im])
     assert scores.shape[1] == 3 and boxes.shape[1] == 12
     assert np.isfinite(scores).all() and np.isfinite(boxes).all()
+
+    # predict CLI in SNAPSHOT mode on a raw image file (the --model branch;
+    # the artifact branch is covered in tests/test_export.py)
+    import json
+    from wssdl_bus_tpu.main.predict import main as predict_main
+    img_path = imdb.image_path_at(0)
+    preds = str(tmp_path / "preds")
+    run_cli(predict_main, [
+        "predict.py", img_path, "--model", ckpt, "--out", preds,
+        "--thresh", "0.0", "--data_dir", DATA,
+        "--set_cfgs", *SMALL_CFGS])
+    report = json.load(open(os.path.join(preds, "predictions.json")))
+    assert report[0]["image"] == img_path
+    for d in report[0]["detections"]:
+        assert d["class"] in ("benign", "malignant")
 
 
 def test_train_alter_cli(tmp_path):

@@ -247,15 +247,44 @@ class Engine:
         scale = 1.0 / cfg.FEAT_STRIDE
         sup_pooled = roi_pool_grouped(feat[:n_s], samples.rois, 7, 7, scale)
         c = feat.shape[-1]
-        if n_ws:
+        if n_ws and self.model.backbone == "VGGnet" \
+                and jax.default_backend() == "tpu":
+            # Apply the head to the supervised and weak groups SEPARATELY
+            # and concatenate only the tiny outputs: concatenating the
+            # pooled features first forces XLA to materialize + re-lay-out
+            # the [4.1k, 7*7*512] fc6 operand and split its cotangent
+            # (~4 ms/step of pure copies at full budgets, profiled).  Valid
+            # only while the head is norm-free (VGG fc6/fc7: dropout is
+            # per-roi iid either way); the ResNet conv head computes BN
+            # batch stats over ALL rois in one call, so it keeps the
+            # reference's concatenated application below.  TPU-only at
+            # trace time (like roi_pool_grouped / proposal's dispatch):
+            # on CPU the split changes the bias-grad reduction tree enough
+            # that shard_map-vs-plain programs stop agreeing bitwise,
+            # which would break the (1,1)-mesh == Engine contract the
+            # tests pin down.
             ws_pooled = roi_pool_grouped(feat[n_s:], props.boxes[n_s:], 7, 7,
                                          scale)
-            pooled = jnp.concatenate([sup_pooled.reshape(-1, 7, 7, c),
-                                      ws_pooled.reshape(-1, 7, 7, c)], axis=0)
+            k_sup, k_ws = jax.random.split(k_drop)
+            cls_sup, bbox_sup, bs_head = self._apply_head(
+                var, sup_pooled.reshape(-1, 7, 7, c), train=True,
+                dropout_rng=k_sup)
+            cls_ws, bbox_ws, _ = self._apply_head(
+                var, ws_pooled.reshape(-1, 7, 7, c), train=True,
+                dropout_rng=k_ws)
+            cls_score = jnp.concatenate([cls_sup, cls_ws], axis=0)
+            bbox_pred = jnp.concatenate([bbox_sup, bbox_ws], axis=0)
         else:
-            pooled = sup_pooled.reshape(-1, 7, 7, c)
-        cls_score, bbox_pred, bs_head = self._apply_head(
-            var, pooled, train=True, dropout_rng=k_drop)
+            if n_ws:
+                ws_pooled = roi_pool_grouped(feat[n_s:], props.boxes[n_s:],
+                                             7, 7, scale)
+                pooled = jnp.concatenate(
+                    [sup_pooled.reshape(-1, 7, 7, c),
+                     ws_pooled.reshape(-1, 7, 7, c)], axis=0)
+            else:
+                pooled = sup_pooled.reshape(-1, 7, 7, c)
+            cls_score, bbox_pred, bs_head = self._apply_head(
+                var, pooled, train=True, dropout_rng=k_drop)
 
         bs_updates = {"trunk": bs_trunk, "head": bs_head}
         return (feat, rpn_score, rpn_bbox, at, props, samples, rois_all,

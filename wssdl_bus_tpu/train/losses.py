@@ -23,10 +23,17 @@ import jax.numpy as jnp
 
 def softmax_ce(logits, labels):
     """Per-row sparse softmax cross entropy (labels may be out of range for
-    masked rows — caller masks)."""
+    masked rows — caller masks).
+
+    Select-and-reduce instead of ``take_along_axis``: XLA lowers the
+    per-row gather to a ~0.5 ms serial fused loop on TPU at anchor counts
+    (profiled), while a one-hot select reduces on the VPU; ``where`` (not
+    multiply-by-one-hot) so a -inf in an unselected lane cannot poison the
+    row with NaN.  Bit-exact: the sum is one selected value plus zeros."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    return -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    onehot = safe[..., None] == jnp.arange(logits.shape[-1])
+    return -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
 
 
 def rpn_class_loss(rpn_cls_score, labels, num_anchors):

@@ -29,6 +29,8 @@ sparsity skips ~99.8% of the weak-roi scatters.  Full train step
 
 Use ``roi_pool_grouped`` below: it dispatches to this kernel on TPU and to
 the jit fallback elsewhere (tests compare both against the numpy oracle).
+``roi_pool_fc`` is the fused pool+flatten variant the VGG fc head consumes
+(see its section comment below).
 """
 
 from __future__ import annotations
@@ -327,6 +329,298 @@ def _vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, flavor, res, g):
 
 
 roi_pool_image.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------- #
+# Fused pool+flatten ("fc") variant
+#
+# The VGG head consumes pooled features as fc6's [N, Ph*Pw*C] matmul
+# operand (flattened in natural NHWC order, models/layers.py Fc).  The
+# general kernel's [N, Ph, Pw, C] output cannot be bitcast to that shape on
+# TPU — Ph=Pw=7 is not tile-aligned, so XLA pays a relayout copy on the
+# 400 MB weak-group tensor in BOTH directions (forward flatten + backward
+# unflatten of the fc6 cotangent; ~3.7 ms/step profiled).  This variant
+# writes the flat f32 layout directly from the kernel — the same values,
+# max operations, store pattern and store count as the general kernel
+# (per (roi, column-bin), 7 single-sublane [1, C] stores land in either
+# layout), so forward AND backward are value-identical to pooling then
+# reshaping; only the relayout copies disappear.
+#
+# ``out_dtype=bfloat16`` additionally halves the kernel's HBM write and
+# the cotangent traffic with fc6-identical forward values (rounding
+# commutes with max; XLA's default-precision matmul rounds its operand to
+# bf16 anyway) — but on current Mosaic a single logical row of a PACKED
+# (8,128)(2,1) bf16 tile is read-modify-write, which measured ~2x SLOWER
+# end-to-end than the f32 relayout copies it saves (fwd 5.6 -> 10.9 ms,
+# bwd guard reads 1.4 -> 14.8 ms).  The option is kept (and tested) for
+# when Mosaic grows cheap packed row access; production uses f32.
+#
+# The backward takes the MIL-sparsity guard as a precomputed [P] flag
+# vector in SMEM (XLA reduces the cotangent once, bandwidth-bound) so a
+# skipped weak roi — ~99.8% of them — never touches its flat cotangent
+# row at all.
+# --------------------------------------------------------------------- #
+
+
+def _fc_align(dtype) -> int:
+    """Sublane alignment for dynamic second-minor slices: 8 rows for 4-byte
+    types, 16 for 2-byte (the (8,128)(2,1) packed tile)."""
+    return 8 * (4 // jnp.dtype(dtype).itemsize)
+
+
+def _fc_fwd_kernel(rois_ref, feat_ref, out_ref, rows_ref, *, pooled_h,
+                   pooled_w, spatial_scale, span_h, span_w, wspan, flavor,
+                   align):
+    """Same separable pool as ``_fwd_kernel``, but out_ref is the flat
+    [ROI_BLOCK, Ph*Pw*C] block in ``rows_ref.dtype`` (bf16 in production):
+    stage 2's per-column-bin [Ph, C] maxima are stored row-bin by row-bin at
+    lane offset (i*Pw + j)*C.  feat_ref arrives already cast to the output
+    dtype (rounding before the max equals rounding after — monotone)."""
+    h, w, c = feat_ref.shape
+    dt = rows_ref.dtype
+    w_pad = rows_ref.shape[1]
+    iota_sh = jax.lax.broadcasted_iota(jnp.int32, (span_h, 1, 1), 0)
+    iota_ws = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, wspan, 1), 1)
+    big = jnp.asarray(1e30, dt)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        if w_pad > w:
+            rows_ref[:, w:, :] = jnp.full((pooled_h, w_pad - w, c), -big, dt)
+
+    def roi_body(r):
+        rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
+        for i in range(pooled_h):
+            sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
+                                         jnp.int32(i), h, span_h, flavor)
+            win = feat_ref[pl.ds(sh, span_h), :, :]
+            off_h = (((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h))
+                     .astype(dt) - 1) * big
+            ne_h = (hi_h > lo_h).astype(dt)
+            rows_ref[i, :w, :] = jnp.max(win + off_h, axis=0) * ne_h
+        for j in range(pooled_w):
+            _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
+                                        jnp.int32(j), w, span_w, flavor)
+            base = pl.multiple_of((lo_w // align) * align, align)
+            rows_win = rows_ref[:, pl.ds(base, wspan), :]
+            off_w = (((iota_ws + base >= lo_w) & (iota_ws + base < hi_w))
+                     .astype(dt) - 1) * big
+            ne_w = (hi_w > lo_w).astype(dt)
+            m = jnp.max(rows_win + off_w, axis=1) * ne_w      # [Ph, C]
+            for i in range(pooled_h):
+                # 2-D row slice (m[i][None] would make a 1-D value, which
+                # Mosaic may scalarize — see the backward's g read note)
+                out_ref[r:r + 1,
+                        (i * pooled_w + j) * c:(i * pooled_w + j + 1) * c] \
+                    = m[i:i + 1]
+
+    # python-unrolled over the ROI block: the flat out_ref's roi dim is its
+    # SUBLANE dim, and Mosaic requires statically aligned sublane store
+    # offsets — a fori_loop's traced index cannot be proven aligned
+    for r in range(ROI_BLOCK):
+        roi_body(r)
+
+
+def _fc_bwd_kernel(rois_ref, feat_ref, g_ref, dfeat_ref, *,
+                   pooled_h, pooled_w, spatial_scale, span_h, span_w,
+                   flavor):
+    """Mirror of ``_bwd_kernel`` for the flat cotangent: g_ref is
+    [ROI_BLOCK, Ph*Pw*C] in the forward's output dtype, feat_ref arrives in
+    that same dtype (the argmax routing must see the values the forward
+    maxed over) and is upcast to f32 in-register — exact on bf16-rounded
+    values, and Mosaic's argmax lowering only supports f32 anyway.  dfeat
+    accumulates in float32.  rois_ref carries a 5th column: the
+    precomputed has-nonzero-cotangent flag (folded into the one SMEM
+    block — a second SMEM input measurably slowed every grid step) — the
+    MIL-sparsity skip without reading g rows in-kernel."""
+    h, w, c = feat_ref.shape
+    iota_sh = jax.lax.broadcasted_iota(jnp.int32, (span_h, 1, 1), 0)
+    iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    big = jnp.float32(1e30)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+
+    def roi_body(r):
+        @pl.when(rois_ref[r, 4] != 0)
+        def _():
+            rsw, rsh, roi_w, roi_h = _quantize(rois_ref, r, spatial_scale)
+            for i in range(pooled_h):
+                sh, lo_h, hi_h = _bin_window(rsh, roi_h, pooled_h,
+                                             jnp.int32(i), h, span_h,
+                                             flavor)
+                win = feat_ref[pl.ds(sh, span_h), :, :] \
+                    .astype(jnp.float32)
+                off_h = (((iota_sh + sh >= lo_h) & (iota_sh + sh < hi_h))
+                         .astype(jnp.float32) - 1.0) * big
+                masked_win = win + off_h
+                rows_i = jnp.max(masked_win, axis=0)         # [W, C]
+                g_rows = jnp.zeros((w, c), jnp.float32)
+                for j in range(pooled_w):
+                    _, lo_w, hi_w = _bin_window(rsw, roi_w, pooled_w,
+                                                jnp.int32(j), w, span_w,
+                                                flavor)
+                    off_w = (((iota_w2 >= lo_w) & (iota_w2 < hi_w))
+                             .astype(jnp.float32) - 1.0) * big  # [W, 1]
+                    masked_rows = rows_i + off_w
+                    am_w = jnp.argmax(masked_rows, axis=0)   # [C]
+                    ne = ((hi_h > lo_h) & (hi_w > lo_w)) \
+                        .astype(jnp.float32)
+                    # read the bin's cotangent as the FULL [ROI_BLOCK, C]
+                    # tiled slice and select the roi's row in-register:
+                    # masked single-sublane reads and 1-D lane slices both
+                    # made Mosaic scalarize (32 ms .. 3.7 s per active roi
+                    # measured); full-sublane 2-D reads stay vectorized
+                    g = g_ref[:, (i * pooled_w + j) * c:
+                              (i * pooled_w + j + 1) * c][r:r + 1] \
+                        .astype(jnp.float32) * ne            # [1, C]
+                    onehot_w = (iota_w2 == am_w[None, :]) \
+                        .astype(jnp.float32)
+                    g_rows = g_rows + onehot_w * g
+                am_h = jnp.argmax(masked_win, axis=0)        # [W, C]
+                onehot_h = (iota_sh == am_h[None]).astype(jnp.float32)
+                dfeat_ref[pl.ds(sh, span_h), :, :] += \
+                    onehot_h * g_rows[None]
+
+    # unrolled like the forward: g_ref's roi dim is its sublane dim, whose
+    # read offset must be statically known
+    for r in range(ROI_BLOCK):
+        roi_body(r)
+
+
+def _fc_fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
+                 flavor, out_dtype):
+    h, w, c = feat.shape
+    span_h, span_w = _spans(h, w, pooled_h, pooled_w)
+    rois_p, p = _pad_rois(rois)
+    align = _fc_align(out_dtype)
+    # 16-aligned stage-2 windows for 2-byte dtypes (packed sublanes)
+    wspan = align * ((span_w + 2 * (align - 1)) // align)
+    w_pad = (w // align) * align + wspan
+    d = pooled_h * pooled_w * c
+    out = pl.pallas_call(
+        partial(_fc_fwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
+                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w,
+                wspan=wspan, flavor=flavor, align=align),
+        out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], d), out_dtype),
+        grid=(1, rois_p.shape[0] // ROI_BLOCK),
+        in_specs=[
+            pl.BlockSpec((ROI_BLOCK, 4), lambda ci, k: (k, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, w, c), lambda ci, k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROI_BLOCK, d), lambda ci, k: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((pooled_h, w_pad, c), out_dtype)],
+        interpret=interpret,
+    )(rois_p, feat.astype(out_dtype))
+    return out[:p]
+
+
+def _fc_bwd_call(feat_cast, rois, g, pooled_h, pooled_w, spatial_scale,
+                 interpret, flavor):
+    h, w, c = feat_cast.shape
+    span_h, span_w = _spans(h, w, pooled_h, pooled_w)
+    rois_p, p = _pad_rois(rois)
+    pad = rois_p.shape[0] - p
+    if pad:
+        g = jnp.concatenate(
+            [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], 0)
+    d = pooled_h * pooled_w * c
+    active = jnp.any(g != 0, axis=-1).astype(rois_p.dtype)[:, None]
+    rois_a = jnp.concatenate([rois_p, active], axis=1)       # [R, 5]
+    dfeat = pl.pallas_call(
+        partial(_fc_bwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
+                spatial_scale=spatial_scale, span_h=span_h, span_w=span_w,
+                flavor=flavor),
+        out_shape=jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+        grid=(1, rois_p.shape[0] // ROI_BLOCK),
+        in_specs=[
+            pl.BlockSpec((ROI_BLOCK, 5), lambda ci, k: (k, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, w, c), lambda ci, k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROI_BLOCK, d), lambda ci, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, w, c), lambda ci, k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rois_a, feat_cast, g)
+    return dfeat
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def roi_pool_fc_image(feat, rois, pooled_h=7, pooled_w=7,
+                      spatial_scale=1.0 / 16.0, interpret=False,
+                      flavor="gpu", out_dtype=jnp.float32):
+    """Fused pool+flatten for ONE image: [H, W, C] x [P, 4] ->
+    [P, Ph*Pw*C] in ``out_dtype`` (NHWC flatten order, fc6-ready).  Values
+    equal ``roi_pool_image(...).astype(out_dtype).reshape(P, -1)``."""
+    return _fc_fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale,
+                        interpret, flavor, out_dtype)
+
+
+def _fc_vjp_fwd(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
+                flavor, out_dtype):
+    out = _fc_fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale,
+                       interpret, flavor, out_dtype)
+    # residual in the OUTPUT dtype: the backward's argmax must rank the
+    # values the forward maxed over (and it halves the residual)
+    return out, (feat.astype(out_dtype), rois)
+
+
+def _fc_vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, flavor,
+                out_dtype, res, g):
+    feat_cast, rois = res
+    if jnp.dtype(out_dtype) == jnp.float32:
+        # f32 production path: XLA unflattens the cotangent (a relayout
+        # copy) and the channel-blocked 4-D kernel scatters it.  The flat
+        # _fc_bwd_kernel avoids that copy but cannot channel-block (a
+        # channel sub-range is lane-strided across the 49 bins), so its
+        # full-C VMEM footprint (~13 MB) costs Mosaic the g-block double
+        # buffering — measured 27 us per SKIPPED roi block vs 2.8 us in
+        # the blocked kernel: the copy is the cheaper evil.
+        g4 = g.reshape(g.shape[0], pooled_h, pooled_w, -1)
+        dfeat = _bwd_call(feat_cast, rois, g4, pooled_h, pooled_w,
+                          spatial_scale, interpret, flavor)
+    else:
+        # bf16 option: routing must rank the bf16-rounded values the
+        # forward maxed over; the flat kernel does (and upcasts in
+        # register), the f32 4-D kernel cannot
+        dfeat = _fc_bwd_call(feat_cast, rois, g, pooled_h, pooled_w,
+                             spatial_scale, interpret, flavor)
+    return dfeat, None
+
+
+roi_pool_fc_image.defvjp(_fc_vjp_fwd, _fc_vjp_bwd)
+
+
+def roi_pool_fc(feat: jnp.ndarray, rois: jnp.ndarray,
+                pooled_h: int = 7, pooled_w: int = 7,
+                spatial_scale: float = 1.0 / 16.0,
+                force_fallback: bool = False,
+                flavor: str = "gpu",
+                out_dtype=jnp.float32) -> jnp.ndarray:
+    """Batched fused pool+flatten: [B, H, W, C] x [B, P, 4] ->
+    [B, P, Ph*Pw*C] in ``out_dtype``.  TPU: the flat Pallas kernel above;
+    elsewhere: the jit fallback + reshape + cast (value-identical forward;
+    the fallback backward splits exact ties like ``roi_pool_grouped``)."""
+    b, p, _ = rois.shape
+    d = pooled_h * pooled_w * feat.shape[-1]
+    if b == 0 or p == 0:
+        return jnp.zeros((b, p, d), out_dtype)
+    if force_fallback or jax.default_backend() != "tpu":
+        out = roi_pool_grouped(feat, rois, pooled_h, pooled_w,
+                               spatial_scale, force_fallback=True,
+                               flavor=flavor)
+        return out.reshape(b, p, d).astype(out_dtype)
+    fn = partial(roi_pool_fc_image, pooled_h=pooled_h, pooled_w=pooled_w,
+                 spatial_scale=spatial_scale, flavor=flavor,
+                 out_dtype=out_dtype)
+    return jax.vmap(fn)(feat, rois)
 
 
 def roi_pool_grouped(feat: jnp.ndarray, rois: jnp.ndarray,

@@ -32,7 +32,7 @@ from wssdl_bus_tpu.ops.anchor_target import anchor_target_layer_joint
 from wssdl_bus_tpu.ops.anchors import shifted_anchors
 from wssdl_bus_tpu.ops.proposal import proposal_layer
 from wssdl_bus_tpu.ops.proposal_target import proposal_target_layer
-from wssdl_bus_tpu.ops.roi_pool_pallas import roi_pool_grouped
+from wssdl_bus_tpu.ops.roi_pool_pallas import roi_pool_fc, roi_pool_grouped
 from wssdl_bus_tpu.train import losses as L
 
 
@@ -209,6 +209,21 @@ class Engine:
         return self.model.apply_head(var, pooled, train=train,
                                      dropout_rng=dropout_rng)
 
+    def _pool_for_head(self, feat, boxes):
+        """ROI-pool ``boxes`` [B, P, 4] against ``feat`` and return the head
+        input flattened over (B, P).  VGG on TPU uses the fused
+        pool+flatten bf16 kernel — bit-identical fc6 operand without the
+        [N, 7*7*C] relayout copies (roi_pool_fc docstring); everywhere
+        else (CPU bitwise contracts, ResNet's BN conv head) the plain
+        pooled [N, 7, 7, C] float32."""
+        if self.model.backbone == "VGGnet" \
+                and jax.default_backend() == "tpu":
+            flat = roi_pool_fc(feat, boxes, 7, 7, 1.0 / self.cfg.FEAT_STRIDE)
+            return flat.reshape(-1, flat.shape[-1])
+        pooled = roi_pool_grouped(feat, boxes, 7, 7,
+                                  1.0 / self.cfg.FEAT_STRIDE)
+        return pooled.reshape(-1, 7, 7, feat.shape[-1])
+
     def _forward_train(self, params, variables, batch, key, step):
         cfg = self.cfg
         n_s, n_ws = self.n_s, self.n_ws
@@ -245,7 +260,6 @@ class Engine:
             rois_all = sup_rois
 
         scale = 1.0 / cfg.FEAT_STRIDE
-        sup_pooled = roi_pool_grouped(feat[:n_s], samples.rois, 7, 7, scale)
         c = feat.shape[-1]
         if n_ws and self.model.backbone == "VGGnet" \
                 and jax.default_backend() == "tpu":
@@ -257,24 +271,27 @@ class Engine:
             # only while the head is norm-free (VGG fc6/fc7: dropout is
             # per-roi iid either way); the ResNet conv head computes BN
             # batch stats over ALL rois in one call, so it keeps the
-            # reference's concatenated application below.  TPU-only at
-            # trace time (like roi_pool_grouped / proposal's dispatch):
+            # reference's concatenated application below.  The pool runs
+            # the fused pool+flatten bf16 kernel: fc6 receives the flat
+            # operand XLA would otherwise produce with relayout copies,
+            # with bit-identical values (roi_pool_fc docstring).  TPU-only
+            # at trace time (like roi_pool_grouped / proposal's dispatch):
             # on CPU the split changes the bias-grad reduction tree enough
             # that shard_map-vs-plain programs stop agreeing bitwise,
             # which would break the (1,1)-mesh == Engine contract the
             # tests pin down.
-            ws_pooled = roi_pool_grouped(feat[n_s:], props.boxes[n_s:], 7, 7,
-                                         scale)
             k_sup, k_ws = jax.random.split(k_drop)
             cls_sup, bbox_sup, bs_head = self._apply_head(
-                var, sup_pooled.reshape(-1, 7, 7, c), train=True,
-                dropout_rng=k_sup)
+                var, self._pool_for_head(feat[:n_s], samples.rois),
+                train=True, dropout_rng=k_sup)
             cls_ws, bbox_ws, _ = self._apply_head(
-                var, ws_pooled.reshape(-1, 7, 7, c), train=True,
-                dropout_rng=k_ws)
+                var, self._pool_for_head(feat[n_s:], props.boxes[n_s:]),
+                train=True, dropout_rng=k_ws)
             cls_score = jnp.concatenate([cls_sup, cls_ws], axis=0)
             bbox_pred = jnp.concatenate([bbox_sup, bbox_ws], axis=0)
         else:
+            sup_pooled = roi_pool_grouped(feat[:n_s], samples.rois, 7, 7,
+                                          scale)
             if n_ws:
                 ws_pooled = roi_pool_grouped(feat[n_s:], props.boxes[n_s:],
                                              7, 7, scale)
@@ -393,9 +410,7 @@ class Engine:
             post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
             nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
             min_size=float(cfg.TRAIN.RPN_MIN_SIZE))
-        pooled = roi_pool_grouped(feat, props.boxes, 7, 7,
-                                  1.0 / cfg.FEAT_STRIDE)
-        pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
+        pooled = self._pool_for_head(feat, props.boxes)
         cls_score, _, _ = self._apply_head(var, pooled, train=True,
                                            dropout_rng=key)
         b = batch["data"].shape[0]
@@ -480,9 +495,7 @@ class Engine:
             **self._pt_kwargs)
 
         rois_all = _rois5(samples.rois, 0)
-        pooled = roi_pool_grouped(feat, samples.rois, 7, 7,
-                                  1.0 / cfg.FEAT_STRIDE)
-        pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
+        pooled = self._pool_for_head(feat, samples.rois)
         cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
 
         r = cfg.TRAIN.BATCH_SIZE
@@ -560,9 +573,7 @@ class Engine:
             nms_thresh=cfg.TEST.RPN_NMS_THRESH,
             min_size=float(cfg.TEST.RPN_MIN_SIZE))
         rois = _rois5(props.boxes, 0)
-        pooled = roi_pool_grouped(feat, props.boxes, 7, 7,
-                                  1.0 / cfg.FEAT_STRIDE)
-        pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
+        pooled = self._pool_for_head(feat, props.boxes)
         cls_score, bbox_pred, _ = self._apply_head(var, pooled, train=False)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred

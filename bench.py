@@ -25,15 +25,17 @@ conv head dominates); ResNet-18 single 234 / batch-8 559 / batch-32 647
 (light trunk is dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
 batch size because XLA already lowers f32 convs to single-pass bf16 MXU
 ops under the default precision.  Combined train step (1 supervised + 2
-weak images): 20.7 it/s f32, 21.3 it/s bf16, with donated train state;
-alternating-regime weak (MIL-only) step: 31.3 it/s (--alter).
-Train-step roofline (from tools/profile_train.py): trunk forward 10.2 ms
-at ~45% MXU (conv-schedule-limited), detection ops 15.5 ms (Pallas ROI
-pool 5.8 for ~4.1k ROIs, NMS 2.2, target layers ~2, heads 0.7, glue ~4),
-backward+optimizer ~23 ms ~= 2.25x the forward — within ~13% of the 2x-
-FLOPs conv-limited bound; buffer donation recovers ~0.7 ms and bf16 ~1.3
-ms.  The remaining gap to <40 ms/iter is conv MXU efficiency inside XLA's
-schedule, not framework overhead.
+weak images): 23.2 it/s f32 (42.0 ms device; was 20.7 before the
+anchor-target one-hot matmul, the select-reduce CE, the split VGG head
+application and the fused pool+flatten kernel — each bit-exact), 21.3
+it/s bf16, with donated train state; alternating-regime weak (MIL-only)
+step: 32.1 it/s (--alter).  Train-step decomposition at 42.0 ms (device
+trace): convs 19.2 ms at ~45% MXU (conv-schedule-limited), Pallas ROI
+pool 5.6 fwd + 2.2 bwd for ~4.1k ROIs, cotangent relayout copies ~2.7,
+NMS 2.6, pool-path layout 1.0 (conv1 churn), targets/losses/optimizer
+the rest.  The residual gap to the conv roofline is XLA conv scheduling,
+not framework overhead (see wssdl_bus_tpu/ops/roi_pool_pallas.py for the
+Mosaic constraints that bound the pool path).
 """
 
 import argparse

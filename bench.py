@@ -29,7 +29,8 @@ weak images): 23.2 it/s f32 (42.0 ms device; was 20.7 before the
 anchor-target one-hot matmul, the select-reduce CE, the split VGG head
 application and the fused pool+flatten kernel — each bit-exact), 21.3
 it/s bf16, with donated train state; alternating-regime weak (MIL-only)
-step: 32.1 it/s (--alter).  Train-step decomposition at 42.0 ms (device
+step: 32.1 it/s (--alter); ResNet train (conv head over the same
+~4.1k ROIs, remat on for bottlenecks): R18 17.6 it/s, R50 7.6 it/s.  Train-step decomposition at 42.0 ms (device
 trace): convs 19.2 ms at ~45% MXU (conv-schedule-limited), Pallas ROI
 pool 5.6 fwd + 2.2 bwd for ~4.1k ROIs, cotangent relayout copies ~2.7,
 NMS 2.6, pool-path layout 1.0 (conv1 churn), targets/losses/optimizer

@@ -148,6 +148,56 @@ def test_fc_bwd_skips_zero_cotangent_rois(rng):
     assert int((gp != 0).sum()) > 0
 
 
+def test_fc_bwd_bf16_flag_guard_skips_inactive_rois(rng):
+    """The bf16 option is the path that uses _fc_bwd_kernel's precomputed
+    active-flag column (f32 routes through the 4-D kernel's in-kernel
+    guard): with a sparse cotangent, inactive rois must contribute nothing
+    and active rois must match the fallback exactly on tie-free
+    bf16-exact features."""
+    h, w, c, p = 16, 16, 4, 24
+    feat = jnp.asarray(unique_bf16_feat(rng, h, w, c))
+    x1 = rng.uniform(0, (w - 2) * 16, p)
+    y1 = rng.uniform(0, (h - 2) * 16, p)
+    rois = jnp.asarray(np.stack(
+        [x1, y1, np.minimum(x1 + 200, w * 16 - 1),
+         np.minimum(y1 + 200, h * 16 - 1)], 1).astype(np.float32))
+    sel = np.zeros((p, 7 * 7 * c), np.float32)
+    sel[5] = 1.0
+    sel[20] = 2.0
+    sel_j = jnp.asarray(sel)
+
+    def loss_fc(f):
+        out = roi_pool_fc_image(f, rois, 7, 7, 1 / 16.0, True, "gpu",
+                                jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32) * sel_j)
+
+    def loss_f(f):
+        r5 = jnp.concatenate([jnp.zeros((p, 1)), rois], 1)
+        out = roi_pool(f[None], r5, 7, 7, 1 / 16.0)
+        return jnp.sum(out * sel_j.reshape(out.shape))
+
+    gp = np.asarray(jax.grad(loss_fc)(feat))
+    gf = np.asarray(jax.grad(loss_f)(feat))
+    np.testing.assert_array_equal(gp, gf)
+    assert int((gp != 0).sum()) > 0
+
+
+def test_fc_bf16_primal_gets_bf16_cotangent(rng):
+    """Differentiating through roi_pool_fc_image with a bfloat16 feature
+    input must produce a bfloat16 dfeat (custom_vjp dtype contract)."""
+    feat, rois = make_case(rng, h=16, w=16, c=4, p=3)
+    feat_bf = jnp.asarray(feat).astype(jnp.bfloat16)
+
+    def loss(f):
+        out = roi_pool_fc_image(f, jnp.asarray(rois), 7, 7, 1 / 16.0, True,
+                                "gpu", jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32))
+
+    g = jax.grad(loss)(feat_bf)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
 def test_fc_grouped_fallback_dispatch(rng):
     feat, rois = make_case(rng, c=4, p=6)
     feats = np.stack([feat, feat * 2.0])

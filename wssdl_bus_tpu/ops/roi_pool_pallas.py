@@ -214,16 +214,18 @@ def _spans(h, w, pooled_h, pooled_w):
     return h // pooled_h + 2, w // pooled_w + 2
 
 
-def _wspan(w, span_w):
+def _wspan(w, span_w, align=8):
     """Aligned stage-2 window: must cover any [lo_w, hi_w) bin (width <=
-    span_w) whose start is rounded down to a multiple of 8 (<= 7 slack)."""
-    return 8 * ((span_w + 7 + 7) // 8)
+    span_w) whose start is rounded down to a multiple of ``align``
+    (<= align-1 slack).  align is 8 for 4-byte dtypes, 16 for 2-byte
+    packed tiles (see _fc_align)."""
+    return align * ((span_w + 2 * (align - 1)) // align)
 
 
-def _w_pad(w, wspan):
-    """Rows-scratch width: the window base can be as high as (w // 8) * 8
-    (an empty edge bin has lo_w == w)."""
-    return (w // 8) * 8 + wspan
+def _w_pad(w, wspan, align=8):
+    """Rows-scratch width: the window base can be as high as
+    (w // align) * align (an empty edge bin has lo_w == w)."""
+    return (w // align) * align + wspan
 
 
 def _pad_rois(rois):
@@ -496,8 +498,8 @@ def _fc_fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
     rois_p, p = _pad_rois(rois)
     align = _fc_align(out_dtype)
     # 16-aligned stage-2 windows for 2-byte dtypes (packed sublanes)
-    wspan = align * ((span_w + 2 * (align - 1)) // align)
-    w_pad = (w // align) * align + wspan
+    wspan = _wspan(w, span_w, align)
+    w_pad = _w_pad(w, wspan, align)
     d = pooled_h * pooled_w * c
     out = pl.pallas_call(
         partial(_fc_fwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w,
@@ -567,14 +569,16 @@ def _fc_vjp_fwd(feat, rois, pooled_h, pooled_w, spatial_scale, interpret,
                 flavor, out_dtype):
     out = _fc_fwd_call(feat, rois, pooled_h, pooled_w, spatial_scale,
                        interpret, flavor, out_dtype)
-    # residual in the OUTPUT dtype: the backward's argmax must rank the
-    # values the forward maxed over (and it halves the residual)
-    return out, (feat.astype(out_dtype), rois)
+    # residual keeps the PRIMAL feat: the backward casts to out_dtype for
+    # routing (it must rank the values the forward maxed over) and casts
+    # dfeat back, so a non-f32 primal gets a dtype-correct cotangent
+    return out, (feat, rois)
 
 
 def _fc_vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, flavor,
                 out_dtype, res, g):
-    feat_cast, rois = res
+    feat, rois = res
+    feat_cast = feat.astype(out_dtype)
     if jnp.dtype(out_dtype) == jnp.float32:
         # f32 production path: XLA unflattens the cotangent (a relayout
         # copy) and the channel-blocked 4-D kernel scatters it.  The flat
@@ -592,7 +596,7 @@ def _fc_vjp_bwd(pooled_h, pooled_w, spatial_scale, interpret, flavor,
         # register), the f32 4-D kernel cannot
         dfeat = _fc_bwd_call(feat_cast, rois, g, pooled_h, pooled_w,
                              spatial_scale, interpret, flavor)
-    return dfeat, None
+    return dfeat.astype(feat.dtype), None
 
 
 roi_pool_fc_image.defvjp(_fc_vjp_fwd, _fc_vjp_bwd)

@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 post-training-quantized trunk serving path "
+                         "(VGG only; models/quantize.py)")
     ap.add_argument("--batch", type=int, default=32,
                     help="images per inference step (the batched serving "
                          "path, evaluate/detect.py:im_detect_batch); "
@@ -74,6 +77,10 @@ def main():
                     help="VGGnet_train or Resnet_train (see --net_depth)")
     ap.add_argument("--net_depth", type=int, default=18,
                     help="ResNet depth (18/34/50/101)")
+    ap.add_argument("--canvas", type=int, nargs=2, default=(608, 800),
+                    metavar=("H", "W"),
+                    help="static canvas (default 608x800, the SNUBH "
+                         "serving canvas; smaller = quick smoke runs)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -97,7 +104,7 @@ def main():
     from wssdl_bus_tpu.train.engine import Engine
 
     cfg = Config()
-    canvas = (608, 800)
+    canvas = tuple(args.canvas)
     model = build_detector(args.network, args.net_depth, num_classes=3,
                            compute_dtype="bfloat16" if args.bf16 else None)
     net_tag = ("vgg16" if args.network.startswith("VGGnet")
@@ -190,6 +197,9 @@ def main():
         return
 
     variables, _ = eng.init(jax.random.PRNGKey(0))
+    qtrunk = None
+    if args.int8:
+        net_tag += "_int8"
 
     # device-resident inputs: a real serving pipeline double-buffers the
     # host->device copy behind the previous step, so steady-state throughput
@@ -211,9 +221,18 @@ def main():
         np.tile(np.array([[canvas[0], canvas[1], 1.0, 0.0]], np.float32),
                 (nb, 1)))
 
+    if args.int8:
+        # calibrate on the bench inputs themselves (range-representative:
+        # same distribution as every timed batch)
+        qtrunk = eng.quantize_for_serving(variables, [datas[0]])
+
     @jax.jit
     def chained_step(c, data):
-        outs = eng._inference_impl(variables, data + c * 1e-9, im_info)
+        if qtrunk is not None:
+            outs = eng.inference_step_quant(qtrunk, variables,
+                                            data + c * 1e-9, im_info)
+        else:
+            outs = eng._inference_impl(variables, data + c * 1e-9, im_info)
         return c + outs[2][0, 0] * 1e-9
 
     @jax.jit

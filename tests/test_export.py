@@ -173,3 +173,51 @@ def test_parallel_engine_rejected(tmp_path):
     eng = build_engine(model, cfg, CANVAS, mesh_data=2, mesh_model=1)
     with pytest.raises(NotImplementedError, match="single-device"):
         export_serving(eng, None, str(tmp_path), "VGGnet_test")
+
+
+# ------------------------------------------------------------------ #
+# int8-quantized artifacts (export_serving(calib_batches=...))
+# ------------------------------------------------------------------ #
+@pytest.fixture(scope="module")
+def exported_q(exported, tmp_path_factory):
+    eng, variables, _, _ = exported
+    rng = np.random.RandomState(7)
+    calib = rng.rand(2, *CANVAS, 3).astype(np.float32) * 50.0
+    out = str(tmp_path_factory.mktemp("artifact_q"))
+    meta = export_serving(eng, variables, out, "VGGnet_test",
+                          batch_sizes=(1,), calib_batches=[calib])
+    qtrunk = eng.quantize_for_serving(variables, [calib])
+    return eng, variables, qtrunk, out, meta
+
+
+def test_quant_artifact_meta_and_size(exported, exported_q):
+    _, _, out_f, meta_f = exported
+    _, _, _, out_q, meta_q = exported_q
+    assert meta_q["quantized"] is True
+    assert meta_f["quantized"] is False
+    sz_f = os.path.getsize(os.path.join(out_f, "variables.msgpack"))
+    sz_q = os.path.getsize(os.path.join(out_q, "variables.msgpack"))
+    # the int8 trunk replaces the float trunk: ~45 MB saved on VGG16
+    assert sz_q < 0.7 * sz_f
+
+
+def test_quant_roundtrip_bitwise(exported_q):
+    eng, variables, qtrunk, out, _ = exported_q
+    served = load_serving(out)
+    data, infos = _batch(1, seed=3)
+    want = eng.inference_step_quant(qtrunk, variables, data, infos)
+    got = served.inference_step(served.variables, data, infos)
+    for w, g, name in zip(want, got,
+                          ("rois", "valid", "cls_score", "cls_prob",
+                           "bbox_pred")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), name)
+
+
+def test_quant_artifact_detect(exported_q):
+    _, _, _, out, _ = exported_q
+    served = load_serving(out)
+    im = np.full((100, 120), 120, np.uint8)
+    im[20:70, 30:100] = 220
+    (scores, boxes), = served.detect([im])
+    assert np.isfinite(scores).all() and np.isfinite(boxes).all()
+    assert scores.shape[1] == 3 and boxes.shape[1] == 12

@@ -1,0 +1,239 @@
+"""int8 post-training quantization of the VGG trunk (models/quantize.py).
+
+Oracle: an independent numpy re-implementation of the quantized chain
+(int64 im2col conv, f32 dequant).  The exactness test constructs weights,
+data, and activation scales on power-of-two grids so every arithmetic
+step (pow2 divisions, round, int accumulation < 2^24, pow2 dequant) is
+exactly representable in f32 — jit and numpy must then agree bitwise on
+the int codes and the dequantized features."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wssdl_bus_tpu.config import Config
+from wssdl_bus_tpu.models.detector import FasterRCNN
+from wssdl_bus_tpu.models.quantize import (VGG_LAYERS, calibrate_vgg_trunk,
+                                           quant_trunk_apply,
+                                           quantize_vgg_trunk)
+from wssdl_bus_tpu.train.engine import Engine
+
+from tests.test_engine import CANVAS, synth_batch, tiny_cfg
+
+CAL = (32, 32)  # tiny calibration/oracle canvas (feat 2x2 after 4 pools)
+
+
+# --------------------------------------------------------------------- #
+# numpy oracle
+# --------------------------------------------------------------------- #
+def conv2d_np(x, k, pad, acc_dtype):
+    """Stride-1 conv, numpy accumulation in ``acc_dtype``.
+    pad: 'SAME' (odd kernels) or 'VALID' (1x1)."""
+    kh, kw = k.shape[:2]
+    if pad == "SAME":
+        ph, pw = kh // 2, kw // 2
+        x = np.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    b, hp, wp, ci = x.shape
+    h, w = hp - kh + 1, wp - kw + 1
+    out = np.zeros((b, h, w, k.shape[3]), acc_dtype)
+    for i in range(kh):
+        for j in range(kw):
+            out += np.einsum("bhwc,cd->bhwd",
+                             x[:, i:i + h, j:j + w, :].astype(acc_dtype),
+                             k[i, j].astype(acc_dtype))
+    return out
+
+
+def pool2_np(x):
+    b, h, w, c = x.shape
+    return x[:, :h // 2 * 2, :w // 2 * 2, :] \
+        .reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def quant_trunk_oracle(qtrunk, data):
+    """numpy mirror of quant_trunk_apply (trunk part)."""
+    x = np.asarray(data, np.float32)
+    for (_, pool), layer in zip(VGG_LAYERS, qtrunk["layers"]):
+        s = np.float32(layer["in_scale"])
+        xq = np.clip(np.round(x / s), -127, 127).astype(np.int8)
+        acc = conv2d_np(xq, np.asarray(layer["qkernel"]), "SAME", np.int64)
+        assert np.abs(acc).max() < 2 ** 31
+        y = acc.astype(np.float32) * np.asarray(layer["scale"], np.float32) \
+            + np.asarray(layer["bias"], np.float32)
+        y = np.maximum(y, 0.0)
+        x = pool2_np(y) if pool else y
+    return x
+
+
+# --------------------------------------------------------------------- #
+# fixtures
+# --------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = FasterRCNN(backbone="VGGnet")
+    variables = model.init_variables(jax.random.PRNGKey(0), CAL)
+    return model, variables
+
+
+def _rescaled_variables(model, variables, rng, weight_std=0.05):
+    """Random trunk weights big enough that activations don't collapse
+    through 13 layers of 0.01-std inits."""
+    def rand_like(a):
+        if a.ndim == 4:  # conv kernels
+            return jnp.asarray(
+                rng.randn(*a.shape).astype(np.float32) * weight_std)
+        return a
+    params = jax.tree.map(rand_like, variables["trunk"]["params"])
+    out = dict(variables)
+    out["trunk"] = dict(variables["trunk"])
+    out["trunk"]["params"] = params
+    return out
+
+
+# --------------------------------------------------------------------- #
+def test_calibration_records_absmax(model_and_vars, rng):
+    model, variables = model_and_vars
+    variables = _rescaled_variables(model, variables, rng)
+    b1 = rng.randn(1, *CAL, 3).astype(np.float32)
+    b2 = 2.0 * rng.randn(1, *CAL, 3).astype(np.float32)
+    scales = calibrate_vgg_trunk(model, variables, [b1, b2])
+    assert scales["data"] == pytest.approx(
+        max(np.abs(b1).max(), np.abs(b2).max()), rel=1e-6)
+    # conv absmaxes: running max over batches, all strictly positive
+    s1 = calibrate_vgg_trunk(model, variables, [b1])
+    s2 = calibrate_vgg_trunk(model, variables, [b2])
+    for name, _ in VGG_LAYERS:
+        assert scales[name] == pytest.approx(
+            max(s1[name], s2[name]), rel=1e-6)
+        assert scales[name] > 0.0
+
+
+def test_weight_quantization_roundtrip(model_and_vars, rng):
+    model, variables = model_and_vars
+    variables = _rescaled_variables(model, variables, rng)
+    data = rng.randn(1, *CAL, 3).astype(np.float32)
+    scales = calibrate_vgg_trunk(model, variables, [data])
+    qtrunk = quantize_vgg_trunk(variables, scales)
+    backbone = variables["trunk"]["params"]["backbone"]
+    for (name, _), layer in zip(VGG_LAYERS, qtrunk["layers"]):
+        k = np.asarray(backbone[name]["conv"]["kernel"], np.float32)
+        w_scale = np.asarray(layer["scale"], np.float32) \
+            / np.float32(layer["in_scale"])
+        deq = np.asarray(layer["qkernel"], np.float32) * w_scale
+        # within half a quantization step, per output channel
+        assert np.all(np.abs(deq - k) <= w_scale / 2 + 1e-7)
+        # at least one channel extremum hits the +-127 code
+        assert np.abs(np.asarray(layer["qkernel"])).max() == 127
+
+
+def _pow2_below(x):
+    return np.float32(2.0 ** np.floor(np.log2(x)))
+
+
+def test_quant_apply_exact_on_pow2_grids(model_and_vars, rng):
+    """Weights/data/scales on power-of-two grids: jit == numpy bitwise."""
+    model, variables = model_and_vars
+    backbone = {}
+    src = variables["trunk"]["params"]["backbone"]
+    for name, _ in VGG_LAYERS:
+        kshape = np.asarray(src[name]["conv"]["kernel"]).shape
+        ints = rng.randint(-5, 6, size=kshape).astype(np.float32)
+        # pin each output channel's absmax to 127 so w_scale = 2^-7
+        ints[0, 0, 0, :] = np.where(ints[0, 0, 0, :] >= 0, 127.0, -127.0)
+        kernel = ints * np.float32(2.0 ** -7)
+        bias = rng.randint(-16, 17, size=kshape[3]).astype(np.float32) \
+            * np.float32(2.0 ** -9)
+        backbone[name] = {"conv": {"kernel": jnp.asarray(kernel),
+                                   "bias": jnp.asarray(bias)}}
+    params = dict(variables["trunk"]["params"])
+    params["backbone"] = backbone
+    var2 = dict(variables)
+    var2["trunk"] = dict(variables["trunk"])
+    var2["trunk"]["params"] = params
+
+    data = rng.randint(-8, 9, size=(1, *CAL, 3)).astype(np.float32) \
+        * np.float32(2.0 ** -2)
+    # activation scales: powers of two (127 * 2^e with absmax <= 127*2^e),
+    # chosen from an exact float64 forward
+    act_scales = {"data": float(127.0 * 2.0 ** -2)}
+    x64 = data.astype(np.float64)
+    cursor = {"x": x64, "scale": 2.0 ** -2}
+    for name, pool in VGG_LAYERS:
+        s_in = cursor["scale"]
+        xq = np.clip(np.round(cursor["x"] / s_in), -127, 127)
+        k = np.asarray(backbone[name]["conv"]["kernel"], np.float64)
+        w_scale = np.abs(k).max(axis=(0, 1, 2)) / 127.0
+        qk = np.round(k / w_scale)
+        acc = conv2d_np(xq, qk, "SAME", np.float64)
+        y = np.maximum(acc * (s_in * w_scale)
+                       + np.asarray(backbone[name]["conv"]["bias"],
+                                    np.float64), 0.0)
+        if pool:
+            y = pool2_np(y)
+        absmax = max(y.max(), 2.0 ** -20)
+        e = np.ceil(np.log2(absmax / 127.0))
+        act_scales[name] = float(127.0 * 2.0 ** e)
+        cursor = {"x": y, "scale": 2.0 ** e}
+
+    qtrunk = quantize_vgg_trunk(var2, act_scales)
+    # every in_scale must be an exact power of two for the bitwise claim
+    for layer in qtrunk["layers"]:
+        s = float(layer["in_scale"])
+        assert 2.0 ** np.round(np.log2(s)) == s
+    feat_jit = np.asarray(jax.jit(quant_trunk_apply)(qtrunk, data)[0])
+    feat_np = quant_trunk_oracle(qtrunk, data)
+    np.testing.assert_array_equal(feat_jit, feat_np)
+    assert feat_jit.any(), "degenerate all-zero features"
+
+
+def test_quant_apply_close_to_f32(model_and_vars, rng):
+    """Realistic random weights: the quantized trunk tracks the f32 trunk
+    within a few percent relative RMS, and the RPN head outputs follow."""
+    model, variables = model_and_vars
+    variables = _rescaled_variables(model, variables, rng)
+    data = rng.randn(2, *CAL, 3).astype(np.float32) * 20.0
+    scales = calibrate_vgg_trunk(model, variables, [data])
+    qtrunk = quantize_vgg_trunk(variables, scales)
+    feat_q, cls_q, bbox_q = jax.jit(quant_trunk_apply)(qtrunk, data)
+    feat_f, cls_f, bbox_f, _ = model.apply_trunk(variables, jnp.asarray(data),
+                                                 train=False)
+    def rel_rms(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.sqrt(((a - b) ** 2).mean()) / max(
+            np.sqrt((b ** 2).mean()), 1e-12)
+
+    assert rel_rms(feat_q, feat_f) < 0.05
+    assert rel_rms(cls_q, cls_f) < 0.10
+    assert rel_rms(bbox_q, bbox_f) < 0.10
+    assert np.isfinite(np.asarray(feat_q)).all()
+
+
+def test_engine_inference_step_quant(rng):
+    """Engine integration: the quantized inference step produces the same
+    output structure as the f32 step, with finite values and near-equal
+    class probabilities on the same inputs."""
+    cfg = tiny_cfg()
+    model = FasterRCNN(backbone="VGGnet")
+    eng = Engine(model, cfg, CANVAS)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+    batch = synth_batch(rng)
+    data, im_info = batch["data"][:1], batch["im_info"][:1, :3]
+    qtrunk = eng.quantize_for_serving(variables, [data])
+    out_f = eng.inference_step(variables, data, im_info)
+    out_q = eng.inference_step_quant(qtrunk, variables, data, im_info)
+    for f, q in zip(out_f, out_q):
+        assert f.shape == q.shape
+        assert np.isfinite(np.asarray(q)).all()
+    np.testing.assert_allclose(np.asarray(out_q[3]), np.asarray(out_f[3]),
+                               atol=0.05)
+    # probabilities normalized
+    assert np.allclose(np.asarray(out_q[3]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_quantize_for_serving_rejects_resnet():
+    cfg = tiny_cfg()
+    model = FasterRCNN(backbone="Resnet", depth=18, norm="BN")
+    eng = Engine(model, cfg, CANVAS)
+    with pytest.raises(NotImplementedError):
+        eng.quantize_for_serving(None, [])

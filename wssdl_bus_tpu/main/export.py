@@ -30,6 +30,13 @@ def main():
                         help="static canvas; default derives from "
                              "--imdb_test like main/test.py")
     parser.add_argument("--imdb_test", default="bus_test", type=str)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantize the trunk (VGG only): calibrate "
+                             "activation ranges on --imdb_test images and "
+                             "ship int8 weights (models/quantize.py)")
+    parser.add_argument("--calib_images", default=16, type=int,
+                        help="number of --imdb_test images used for int8 "
+                             "activation-range calibration")
     from wssdl_bus_tpu.main.common import add_common_args, build_config, \
         seed_all
     add_common_args(parser)
@@ -42,13 +49,15 @@ def main():
     pprint.pprint(cfg)
     seed_all(args, cfg)
 
+    roidb = None
+    if args.canvas is None or args.int8:
+        from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
+        imdb = get_imdb(args.imdb_test, args.data_dir)
+        roidb = prepare_roidb(imdb)
     if args.canvas is not None:
         canvas = tuple(args.canvas)
     else:
         from wssdl_bus_tpu.data.augment import max_canvas
-        from wssdl_bus_tpu.data.dataset import get_imdb, prepare_roidb
-        imdb = get_imdb(args.imdb_test, args.data_dir)
-        roidb = prepare_roidb(imdb)
         sizes = [(e["height"], e["width"]) for e in roidb]
         canvas = max_canvas(sizes, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
     print(f"static canvas: {canvas}")
@@ -66,12 +75,24 @@ def main():
     variables, step = load_checkpoint(args.model, variables)
     print(f"restored snapshot at iter {step} from {args.model}")
 
+    calib = None
+    if args.int8:
+        import numpy as np
+        from PIL import Image
+
+        from wssdl_bus_tpu.evaluate.detect import pack_image_batch
+        images = [np.asarray(Image.open(e["image"]))
+                  for e in roidb[:args.calib_images]]
+        blob, _, _ = pack_image_batch(eng, images, args.network, canvas)
+        calib = [blob]
+        print(f"int8 calibration on {len(images)} {args.imdb_test} images")
+
     batch_sizes = sorted({int(b) for b in args.batch_sizes.split(",")})
     meta = export_serving(eng, variables, args.out, args.network,
-                          batch_sizes=batch_sizes)
+                          batch_sizes=batch_sizes, calib_batches=calib)
     print(f"exported {meta['net_name']} (canvas {meta['canvas_hw']}, "
-          f"batches {meta['batch_sizes']}, platform {meta['platform']}) "
-          f"to {args.out}")
+          f"batches {meta['batch_sizes']}, platform {meta['platform']}, "
+          f"quantized {meta['quantized']}) to {args.out}")
 
 
 if __name__ == "__main__":

@@ -60,13 +60,21 @@ def _config_from_flat(flat: dict) -> Config:
 
 
 def export_serving(eng, variables, out_dir: str, net_name: str,
-                   batch_sizes=(1,)) -> dict:
+                   batch_sizes=(1,), calib_batches=None) -> dict:
     """Export ``eng``'s inference step at each batch size into ``out_dir``.
 
     ``eng`` must be a single-device :class:`~wssdl_bus_tpu.train.engine.
     Engine`; a meshed ``ParallelEngine`` serves through its own shard_map
     path and is not exportable as a portable single-program artifact.
     Returns the metadata dict (also written to ``meta.json``).
+
+    With ``calib_batches`` (an iterable of preprocessed [B, H, W, 3]
+    serving inputs) the artifact is **int8-quantized**: the trunk is
+    post-training-quantized against those activation ranges
+    (models/quantize.py) and the exported program is the quantized
+    inference step.  The shipped variables are then ``{"qtrunk", "head"}``
+    — no float trunk copy, ~4x smaller weights.  The restored
+    :class:`ServingModel` surface is identical either way.
     """
     import jax
     from jax import export as jexport
@@ -82,12 +90,18 @@ def export_serving(eng, variables, out_dir: str, net_name: str,
 
     os.makedirs(out_dir, exist_ok=True)
     h, w = eng.canvas_hw
+    if calib_batches is not None:
+        qtrunk = eng.quantize_for_serving(variables, calib_batches)
+        ship = {"qtrunk": qtrunk, "head": variables["head"]}
+        step = jax.jit(lambda v, d, i: eng._inference_quant_impl(
+            v["qtrunk"], v["head"], d, i))
+    else:
+        ship = variables
+        step = jax.jit(lambda v, d, i: eng._inference_impl(v, d, i))
     # one device->host fetch, reused for the shape specs and the msgpack
-    host_vars = jax.tree.map(np.asarray, variables)
+    host_vars = jax.tree.map(np.asarray, ship)
     var_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
-
-    step = jax.jit(lambda v, d, i: eng._inference_impl(v, d, i))
     for b in batch_sizes:
         exp = jexport.export(step)(
             var_spec,
@@ -109,6 +123,7 @@ def export_serving(eng, variables, out_dir: str, net_name: str,
         "batch_sizes": sorted(int(b) for b in batch_sizes),
         "platform": jax.default_backend(),
         "jax_version": jax.__version__,
+        "quantized": calib_batches is not None,
         "config": _flat_config(eng.cfg),
     }
     with open(os.path.join(out_dir, _META), "w") as f:

@@ -212,10 +212,10 @@ class Engine:
     def _pool_for_head(self, feat, boxes):
         """ROI-pool ``boxes`` [B, P, 4] against ``feat`` and return the head
         input flattened over (B, P).  VGG on TPU uses the fused
-        pool+flatten bf16 kernel — bit-identical fc6 operand without the
-        [N, 7*7*C] relayout copies (roi_pool_fc docstring); everywhere
-        else (CPU bitwise contracts, ResNet's BN conv head) the plain
-        pooled [N, 7, 7, C] float32."""
+        pool+flatten kernel — the bit-identical flat f32 fc6 operand
+        without the [N, 7*7*C] relayout copies (roi_pool_fc docstring);
+        everywhere else (CPU bitwise contracts, ResNet's BN conv head)
+        the plain pooled [N, 7, 7, C] float32."""
         if self.model.backbone == "VGGnet" \
                 and jax.default_backend() == "tpu":
             flat = roi_pool_fc(feat, boxes, 7, 7, 1.0 / self.cfg.FEAT_STRIDE)
@@ -272,7 +272,7 @@ class Engine:
             # per-roi iid either way); the ResNet conv head computes BN
             # batch stats over ALL rois in one call, so it keeps the
             # reference's concatenated application below.  The pool runs
-            # the fused pool+flatten bf16 kernel: fc6 receives the flat
+            # the fused pool+flatten kernel: fc6 receives the flat f32
             # operand XLA would otherwise produce with relayout copies,
             # with bit-identical values (roi_pool_fc docstring).  TPU-only
             # at trace time (like roi_pool_grouped / proposal's dispatch):
@@ -581,3 +581,58 @@ class Engine:
     @partial(jax.jit, static_argnums=(0,))
     def inference_step(self, variables, data, im_info):
         return self._inference_impl(variables, data, im_info)
+
+    # ------------------------------------------------------------------ #
+    # int8 quantized serving (additive; models/quantize.py)
+    # ------------------------------------------------------------------ #
+    def quantize_for_serving(self, variables, calib_batches=None,
+                             act_scales=None):
+        """Post-training int8 quantization of the trunk for serving.
+
+        ``calib_batches`` iterates preprocessed [B, H, W, 3] serving
+        inputs for activation-range calibration; pass ``act_scales``
+        instead to reuse recorded ranges.  Returns the quantized-trunk
+        pytree consumed by :meth:`inference_step_quant`.  VGG-only."""
+        from wssdl_bus_tpu.models.quantize import (calibrate_vgg_trunk,
+                                                   quantize_vgg_trunk)
+        if self.model.backbone != "VGGnet":
+            raise NotImplementedError(
+                "int8 serving is VGG-only (see models/quantize.py)")
+        if act_scales is None:
+            if calib_batches is None:
+                raise ValueError("need calib_batches or act_scales")
+            act_scales = calibrate_vgg_trunk(self.model, variables,
+                                             calib_batches)
+        return quantize_vgg_trunk(variables, act_scales)
+
+    def _inference_quant_impl(self, qtrunk, head_vars, data, im_info):
+        """:meth:`_inference_impl` with the int8 trunk: same outputs
+        (rois5, valid, cls_score, cls_prob, bbox_pred); the head and all
+        detection geometry stay float32.  Needs only the HEAD variables —
+        the trunk lives in ``qtrunk`` (so quantized serving artifacts ship
+        no float trunk copy, serve/__init__.py)."""
+        from wssdl_bus_tpu.models.quantize import quant_trunk_apply
+        cfg = self.cfg
+        var = {"head": head_vars}
+        feat, rpn_score, rpn_bbox = quant_trunk_apply(qtrunk, data)
+        rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
+        props = proposal_layer(
+            rpn_prob, rpn_bbox, im_info, self.anchors,
+            num_anchors=self.num_anchors,
+            pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+            min_size=float(cfg.TEST.RPN_MIN_SIZE))
+        rois = _rois5(props.boxes, 0)
+        pooled = self._pool_for_head(feat, props.boxes)
+        cls_score, bbox_pred, _ = self.model.apply_head(var, pooled,
+                                                        train=False)
+        cls_prob = jax.nn.softmax(cls_score, axis=-1)
+        return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred
+
+    @partial(jax.jit, static_argnums=(0,))
+    def inference_step_quant(self, qtrunk, variables, data, im_info):
+        """:meth:`inference_step` with the int8 trunk (full ``variables``
+        accepted for surface symmetry; only the head is used)."""
+        return self._inference_quant_impl(qtrunk, variables["head"],
+                                          data, im_info)

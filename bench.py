@@ -77,6 +77,10 @@ def main():
                     help="VGGnet_train or Resnet_train (see --net_depth)")
     ap.add_argument("--net_depth", type=int, default=18,
                     help="ResNet depth (18/34/50/101)")
+    ap.add_argument("--remat", default=None,
+                    choices=["true", "false", "head", "trunk"],
+                    help="override the backbone's remat default "
+                         "(models/detector.py:build_detector)")
     ap.add_argument("--canvas", type=int, nargs=2, default=(608, 800),
                     metavar=("H", "W"),
                     help="static canvas (default 608x800, the SNUBH "
@@ -105,8 +109,11 @@ def main():
 
     cfg = Config()
     canvas = tuple(args.canvas)
+    remat = {None: None, "true": True, "false": False}.get(args.remat,
+                                                           args.remat)
     model = build_detector(args.network, args.net_depth, num_classes=3,
-                           compute_dtype="bfloat16" if args.bf16 else None)
+                           compute_dtype="bfloat16" if args.bf16 else None,
+                           remat=remat)
     net_tag = ("vgg16" if args.network.startswith("VGGnet")
                else f"resnet{args.net_depth}")
     if args.bf16:

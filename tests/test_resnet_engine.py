@@ -37,3 +37,33 @@ def test_resnet18_train_and_inference(norm, rng):
     p = cfg.TEST.RPN_POST_NMS_TOP_N
     assert cls_prob.shape == (p, 3)
     np.testing.assert_allclose(np.asarray(cls_prob).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_remat_variants_match(rng):
+    """remat is purely a memory/schedule knob: False / True / 'head' /
+    'trunk' must produce the same training trajectory (losses and updated
+    params) on the same inputs."""
+    cfg = tiny_cfg()
+    batch = synth_batch(rng)
+
+    def one_step(remat):
+        model = FasterRCNN(backbone="Resnet", depth=18, norm="GN",
+                           remat=remat)
+        eng = Engine(model, cfg, CANVAS, opt_name="sgd")
+        variables, opt_state = eng.init(jax.random.PRNGKey(0))
+        v2, _, ls = eng.train_step(variables, opt_state, batch,
+                                   jax.random.PRNGKey(1), jnp.float32(1e-3),
+                                   jnp.int32(0))
+        return np.array([np.asarray(l) for l in ls]), v2
+
+    losses_ref, v_ref = one_step(False)
+    for remat in (True, "head", "trunk"):
+        losses, v = one_step(remat)
+        np.testing.assert_allclose(losses, losses_ref, rtol=1e-5,
+                                   err_msg=str(remat))
+        a_ref = jax.tree_util.tree_leaves(v_ref["trunk"]["params"])
+        a = jax.tree_util.tree_leaves(v["trunk"]["params"])
+        for x, y in zip(a, a_ref):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-7,
+                                       err_msg=str(remat))

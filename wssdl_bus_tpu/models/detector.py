@@ -88,14 +88,20 @@ class FasterRCNN:
     # None = float32 everywhere; 'bfloat16' = conv/dense matmuls on the MXU
     # in bf16 with f32 params, everything else f32 (models/layers.py scope)
     compute_dtype: Optional[str] = None
-    # rematerialize trunk/head activations in the backward pass (trades ~1
-    # extra forward for O(depth) activation memory).  Required for ResNet
-    # bottleneck training at full canvas: without it the train step needs
-    # 16.4 GB HBM on a 16 GB chip (group3 runs on every one of ~4.1k ROIs).
-    remat: bool = False
+    # rematerialize activations in the backward pass (trades ~1 extra
+    # forward for O(depth) activation memory).  False | True (both parts) |
+    # 'trunk' | 'head'.  The ROI HEAD is the ResNet memory hog (group3
+    # runs on every one of ~4.1k ROIs: without head remat the train step
+    # needs 16.4 GB HBM on a 16 GB chip); trunk remat additionally drops
+    # the full-canvas backbone activations at the cost of recomputing the
+    # trunk forward once in the backward pass.
+    remat: object = False
     # GN group heuristic (cfg.TRAIN.GN_MIN_NUM_G / GN_MIN_CHS_PER_G,
     # network.py:126); applied via gn_config_scope at trace time
     gn_params: tuple = (8, 4)
+
+    def _remat(self, part: str) -> bool:
+        return self.remat is True or self.remat == part
 
     def _trunk(self, train: bool) -> TrunkRPN:
         return TrunkRPN(backbone=self.backbone, depth=self.depth,
@@ -138,7 +144,7 @@ class FasterRCNN:
                     return f32(out), mutated.get("batch_stats")
                 return f32(module.apply(v, d)), None
 
-        if self.remat and train:
+        if self._remat("trunk") and train:
             fwd = jax.checkpoint(fwd)
         (feat, score, bbox), bs = fwd(variables["trunk"], data)
         return feat, score, bbox, bs
@@ -162,7 +168,7 @@ class FasterRCNN:
                     return f32(out), mutated.get("batch_stats")
                 return f32(module.apply(v, x)), None
 
-        if self.remat and train:
+        if self._remat("head") and train:
             fwd = jax.checkpoint(fwd)
         (cls, bbox), bs = fwd(variables["head"], roi_feats)
         return cls, bbox, bs
@@ -171,21 +177,26 @@ class FasterRCNN:
 def build_detector(name: str, depth: int = 50, norm: Optional[str] = None,
                    num_classes: int = 3,
                    compute_dtype: Optional[str] = None,
-                   gn_params: tuple = (8, 4)) -> FasterRCNN:
+                   gn_params: tuple = (8, 4),
+                   remat: object = None) -> FasterRCNN:
     """Factory mirroring ``get_network`` names (factory_bus.py:28-44):
     'VGGnet_train' / 'VGGnet_test' / 'Resnet_train' / 'Resnet_test' and the
     '_alter' variants all map onto the same module pair here (the train/test
-    distinction is an apply-time flag, not a separate graph)."""
+    distinction is an apply-time flag, not a separate graph).
+
+    ``remat=None`` picks the backbone default: off for VGG, full remat for
+    ResNet (bottleneck training at full canvas exceeds one chip's HBM
+    without it, FasterRCNN.remat); 'head'/'trunk' select one part."""
     if name.startswith("VGGnet"):
         return FasterRCNN(backbone="VGGnet", num_classes=num_classes,
-                          compute_dtype=compute_dtype, gn_params=gn_params)
+                          compute_dtype=compute_dtype, gn_params=gn_params,
+                          remat=False if remat is None else remat)
     if name.startswith("Resnet"):
         if depth not in RESNET_DEFS:
             raise KeyError(f"unsupported ResNet depth {depth}")
-        # remat by default: bottleneck training at full canvas exceeds one
-        # chip's HBM without it (see FasterRCNN.remat)
         return FasterRCNN(backbone="Resnet", depth=depth, norm=norm,
                           num_classes=num_classes,
-                          compute_dtype=compute_dtype, remat=True,
+                          compute_dtype=compute_dtype,
+                          remat=True if remat is None else remat,
                           gn_params=gn_params)
     raise KeyError(f"unknown network name {name}")

@@ -195,3 +195,28 @@ def test_batched_serving_cli(tmp_path):
     assert os.path.exists(os.path.join(out2, "eval.txt"))
     qual = os.path.join(out2, "qual")
     assert os.path.isdir(qual) and len(os.listdir(qual)) == 5
+
+
+def test_int8_eval_cli(tmp_path):
+    """--int8 on the test CLI: the quantized trunk drives the full VOC
+    eval pipeline (calibration on the evaluated split's images)."""
+    out = str(tmp_path / "run")
+    from wssdl_bus_tpu.main.train import main as train_main
+    run_cli(train_main, [
+        "train.py", "--max_iters", "1", "--output_dir", out,
+        "--data_dir", DATA, "--no_prefetch",
+        "--set_cfgs", *SMALL_CFGS, "TRAIN.TEST_ITERS", "5"])
+    snaps = [d for d in os.listdir(out) if "_iter_" in d]
+    ckpt = os.path.join(out, sorted(snaps)[-1])
+
+    from wssdl_bus_tpu.main.test import main as test_main
+    out2 = str(tmp_path / "eval_int8")
+    run_cli(test_main, [
+        "test.py", "--model", ckpt, "--output_dir", out2,
+        "--data_dir", DATA, "--int8", "--calib_images", "3",
+        "--batch_size", "2",
+        "--set_cfgs", *SMALL_CFGS])
+    assert os.path.exists(os.path.join(out2, "detections.pkl"))
+    txt = open(os.path.join(out2, "eval.txt")).read()
+    for needle in ("AP for benign", "AP for malignant", "Mean AP"):
+        assert needle in txt, txt

@@ -22,6 +22,14 @@ def main():
                         help="save qualitative detection overlays")
     parser.add_argument("--batch_size", default=1, type=int,
                         help="images per device step (batched serving path)")
+    parser.add_argument("--int8", action="store_true",
+                        help="evaluate the int8-quantized trunk instead "
+                             "(VGG only; models/quantize.py) — measures "
+                             "quantized-vs-f32 mAP/CorLoc directly")
+    parser.add_argument("--calib_imdb", default=None, type=str,
+                        help="imdb whose images calibrate int8 activation "
+                             "ranges (default: the evaluated --imdb_test)")
+    parser.add_argument("--calib_images", default=16, type=int)
     add_common_args(parser)
     args = parser.parse_args()
     print("Called with args:")
@@ -62,6 +70,25 @@ def main():
     print(f"restored snapshot at iter {step} from {args.model}")
     if args.mesh_data * args.mesh_model > 1:
         variables = eng.replicate(variables)
+
+    if args.int8:
+        if args.mesh_data * args.mesh_model > 1:
+            raise NotImplementedError("--int8 is single-device serving")
+        from PIL import Image
+
+        from wssdl_bus_tpu.evaluate.detect import pack_image_batch
+        from wssdl_bus_tpu.models.quantize import QuantServingEngine
+        calib_roidb = roidb
+        if args.calib_imdb:
+            calib_roidb = prepare_roidb(get_imdb(args.calib_imdb,
+                                                 args.data_dir))
+        images = [np.asarray(Image.open(e["image"]))
+                  for e in calib_roidb[:args.calib_images]]
+        blob, _, _ = pack_image_batch(eng, images, args.network, canvas)
+        qtrunk = eng.quantize_for_serving(variables, [blob])
+        print(f"int8: calibrated on {len(images)} images from "
+              f"{args.calib_imdb or args.imdb_test}")
+        eng = QuantServingEngine(eng, qtrunk)
 
     _, result = test_net(eng, variables, imdb, args.output_dir, args.network,
                          canvas, vis=args.qual_res,

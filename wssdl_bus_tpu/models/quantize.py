@@ -130,6 +130,24 @@ def _conv(x, kernel, padding, **kw):
                                         dimension_numbers=dn, **kw)
 
 
+class QuantServingEngine:
+    """Duck-types the Engine serving surface (``.cfg`` / ``.canvas_hw`` /
+    ``.inference_step``) with the int8 trunk swapped in, so every host-side
+    serving path (``evaluate.detect.test_net`` / ``im_detect[_batch]``)
+    evaluates the QUANTIZED model unchanged — that's how int8-vs-f32
+    mAP/CorLoc parity is measured (``main/test.py --int8``)."""
+
+    def __init__(self, eng, qtrunk):
+        self._eng = eng
+        self._qtrunk = qtrunk
+        self.cfg = eng.cfg
+        self.canvas_hw = eng.canvas_hw
+
+    def inference_step(self, variables, data, im_info):
+        return self._eng.inference_step_quant(self._qtrunk, variables,
+                                              data, im_info)
+
+
 def quant_trunk_apply(qtrunk, data):
     """Quantized trunk + f32 RPN heads ->
     (feat, rpn_cls_score, rpn_bbox_pred); drop-in for the VGG branch of

@@ -26,8 +26,13 @@ conv head dominates); ResNet-18 single 234 / batch-8 559 / batch-32 647
 batch size because XLA already lowers f32 convs to single-pass bf16 MXU
 ops under the default precision.  Combined train step (1 supervised + 2
 weak images): 23.2 it/s f32 (42.0 ms device; was 20.7 before the
-anchor-target one-hot matmul, the select-reduce CE, the split VGG head
-application and the fused pool+flatten kernel — each bit-exact), 21.3
+anchor-target one-hot matmul (HIGHEST-precision, exact), the
+select-reduce CE (exact) and the fused pool+flatten kernel
+(bit-identical operand) — the fourth win, the split VGG head
+application, draws the two groups' dropout masks from split keys
+and changes grad-reduction order, so it is a different-but-equally-
+valid sampling of the same stochastic step, not a bitwise match of
+the concatenated form), 21.3
 it/s bf16, with donated train state; alternating-regime weak (MIL-only)
 step: 32.1 it/s (--alter); ResNet train (conv head over the same
 ~4.1k ROIs, remat on for bottlenecks): R18 17.6 it/s, R50 7.6 it/s.  Train-step decomposition at 42.0 ms (device

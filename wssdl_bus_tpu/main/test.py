@@ -82,6 +82,10 @@ def main():
         if args.calib_imdb:
             calib_roidb = prepare_roidb(get_imdb(args.calib_imdb,
                                                  args.data_dir))
+        else:
+            print("int8 NOTE: calibrating on the evaluated split itself — "
+                  "the reported delta excludes calibration-set shift; pass "
+                  "--calib_imdb <train split> for deployment-honest numbers")
         images = [np.asarray(Image.open(e["image"]))
                   for e in calib_roidb[:args.calib_images]]
         blob, _, _ = pack_image_batch(eng, images, args.network, canvas)

@@ -159,11 +159,14 @@ def anchor_target_single(key,
     # anchor (:221-225); outside anchors are 0-filled like _unmap (:259).
     # One-hot matmul instead of a row gather: XLA lowers the [K] gather
     # into a ~0.6 ms serial fused loop PER COLUMN on TPU (profiled), while
-    # onehot[K, G] @ gt[G, 4] is a trivial MXU pass — and bit-exact
-    # (1.0 * v + 0.0-terms == v).
+    # onehot[K, G] @ gt[G, 4] is a trivial MXU pass — bit-exact
+    # (1.0 * v + 0.0-terms == v) ONLY at HIGHEST precision: the default
+    # single-pass bf16 MXU lowering would round the gt coordinates
+    # themselves (e.g. 601.3 -> 600.0 in [512, 1024)) before the sum.
     onehot = (argmax_for_targets[:, None]
               == jnp.arange(g)[None, :]).astype(gt_boxes.dtype)
-    matched_gt = onehot @ gt_boxes[:, :4]
+    matched_gt = jnp.matmul(onehot, gt_boxes[:, :4],
+                            precision=jax.lax.Precision.HIGHEST)
     targets = bbox_transform(anchors, matched_gt)
     targets = jnp.where(inside[:, None], targets, 0.0)
 

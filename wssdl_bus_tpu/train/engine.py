@@ -261,8 +261,17 @@ class Engine:
 
         scale = 1.0 / cfg.FEAT_STRIDE
         c = feat.shape[-1]
-        if n_ws and self.model.backbone == "VGGnet" \
-                and jax.default_backend() == "tpu":
+        vgg_tpu = (self.model.backbone == "VGGnet"
+                   and jax.default_backend() == "tpu")
+        if vgg_tpu and not n_ws:
+            # supervised-only: one group, but still the fused pool+flatten
+            # kernel (same dropout draw as the fallback: identical [N, 512]
+            # mask shape and key, and fc6's operand is bit-identical per
+            # the roi_pool_fc docstring)
+            cls_score, bbox_pred, bs_head = self._apply_head(
+                var, self._pool_for_head(feat[:n_s], samples.rois),
+                train=True, dropout_rng=k_drop)
+        elif n_ws and vgg_tpu:
             # Apply the head to the supervised and weak groups SEPARATELY
             # and concatenate only the tiny outputs: concatenating the
             # pooled features first forces XLA to materialize + re-lay-out

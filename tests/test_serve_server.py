@@ -114,3 +114,96 @@ def test_internal_fault_is_500(server, monkeypatch):
     monkeypatch.setattr(httpd.service.served, "detect", boom)
     code, obj = _request(httpd, "POST", "/detect", body=_png_bytes(im))
     assert code == 500 and "device fell over" in obj["error"]
+
+# ------------------------------------------------------------------ #
+# DynamicBatcher: request coalescing
+# ------------------------------------------------------------------ #
+def test_dynamic_batcher_coalesces():
+    """While a step is in flight, queued requests ride the NEXT step
+    together (capped by max_batch) — deterministic via a gated backend."""
+    from wssdl_bus_tpu.serve.server import DynamicBatcher
+
+    release = threading.Event()
+    first_entered = threading.Event()
+
+    class Fake:
+        batch_sizes = [1, 4]
+
+        def detect(self, images):
+            if not first_entered.is_set():
+                first_entered.set()
+                release.wait(timeout=30)
+            return [("r", int(im)) for im in images]
+
+    b = DynamicBatcher(Fake())
+    results = {}
+
+    def submit(i):
+        results[i] = b.detect_one(i)
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(8)]
+    threads[0].start()
+    assert first_entered.wait(timeout=30)  # worker is inside step 1
+    for t in threads[1:]:
+        t.start()
+    # wait until the remaining 7 are queued, then release the gate
+    for _ in range(3000):
+        with b._cv:
+            if len(b._queue) == 7:
+                break
+        import time
+        time.sleep(0.01)
+    release.set()
+    for t in threads:
+        t.join(timeout=30)
+    b.close()
+    assert results == {i: ("r", i) for i in range(8)}
+    assert b.step_sizes[0] == 1          # the lone first request
+    assert max(b.step_sizes) <= 4        # capped by the exported batch
+    assert sorted(b.step_sizes[1:]) == [3, 4]  # 7 queued -> steps of 4 + 3
+
+
+def test_dynamic_batcher_step_failure_is_scoped():
+    """A device failure fails exactly the requests in that step; the
+    batcher keeps serving afterwards."""
+    from wssdl_bus_tpu.serve.server import DynamicBatcher
+
+    class Flaky:
+        batch_sizes = [2]
+        calls = 0
+
+        def detect(self, images):
+            Flaky.calls += 1
+            if Flaky.calls == 1:
+                raise RuntimeError("transient")
+            return [("ok", int(im)) for im in images]
+
+    b = DynamicBatcher(Flaky())
+    with pytest.raises(RuntimeError, match="transient"):
+        b.detect_one(0)
+    assert b.detect_one(1) == ("ok", 1)
+    b.close()
+
+
+def test_concurrent_requests_all_served(server):
+    """End-to-end: concurrent POSTs against the real artifact all return
+    200 with the detection schema."""
+    httpd, _, _ = server
+    im = np.full((60, 80), 100, np.uint8)
+    im[10:40, 20:60] = 220
+    body = _png_bytes(im)
+    outs = {}
+
+    def hit(i):
+        outs[i] = _request(httpd, "POST", "/detect", body=body)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(outs) == 6
+    for code, obj in outs.values():
+        assert code == 200
+        assert obj["image_hw"] == [60, 80]
+        assert isinstance(obj["detections"], list)

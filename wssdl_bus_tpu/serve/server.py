@@ -14,13 +14,19 @@ Endpoints:
         in original pixel coordinates (same post-processing and schema as
         ``main/predict.py`` — shared ``serve.report_detections``).
 
-Device dispatch is serialized with a lock (one chip, one program); the
-ThreadingHTTPServer keeps request parsing and image decode concurrent.
+Concurrency: the ThreadingHTTPServer parses requests and decodes images on
+request threads; device work funnels through a :class:`DynamicBatcher` —
+one worker thread drains ALL queued images into a single device step
+(capped by the largest exported batch size).  While a step is in flight,
+arriving requests pile up and ride the next step together, so throughput
+under load tracks the batched device step with no artificial coalescing
+delay at low load (a lone request still dispatches immediately at batch 1).
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import math
@@ -36,6 +42,80 @@ class BadImage(ValueError):
     """The request body could not be decoded as an image (client error)."""
 
 
+class _Pending:
+    __slots__ = ("im", "done", "result", "error")
+
+    def __init__(self, im):
+        self.im = im
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-image requests into batched device steps.
+
+    ``backend`` is anything with ``.detect(images) -> [(scores, boxes)...]``
+    and ``.batch_sizes`` (a :class:`~wssdl_bus_tpu.serve.ServingModel`).
+    One daemon worker drains the queue: everything waiting (up to the
+    largest exported batch) goes into ONE ``detect`` call.  A device
+    failure fails exactly the requests in that step.
+    """
+
+    def __init__(self, backend, max_batch: int = None):
+        self._backend = backend
+        self.max_batch = (max(backend.batch_sizes) if max_batch is None
+                          else max_batch)
+        self._queue = collections.deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        # batch sizes of completed steps (observability + tests)
+        self.step_sizes = []
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="wssdl-batcher")
+        self._worker.start()
+
+    def detect_one(self, im):
+        """Submit one image; blocks until its step completes."""
+        p = _Pending(im)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(p)
+            self._cv.notify()
+        p.done.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                batch = [self._queue.popleft()
+                         for _ in range(min(len(self._queue),
+                                            self.max_batch))]
+            try:
+                results = self._backend.detect([p.im for p in batch])
+                for p, r in zip(batch, results):
+                    p.result = r
+            except Exception as e:  # noqa: BLE001 — forwarded per request
+                for p in batch:
+                    p.error = e
+            self.step_sizes.append(len(batch))
+            for p in batch:
+                p.done.set()
+
+
 class DetectionService:
     """The request-independent core (constructed once, shared by handlers;
     separable from HTTP for tests)."""
@@ -43,14 +123,15 @@ class DetectionService:
     def __init__(self, artifact_dir: str):
         from wssdl_bus_tpu.serve import load_serving
         self.served = load_serving(artifact_dir)
-        self._lock = threading.Lock()
+        self.batcher = DynamicBatcher(self.served)
 
     def info(self) -> dict:
         m = self.served.meta
         return {"status": "ok", "net_name": m["net_name"],
                 "platform": m["platform"],
                 "canvas_hw": m["canvas_hw"],
-                "batch_sizes": m["batch_sizes"]}
+                "batch_sizes": m["batch_sizes"],
+                "quantized": bool(m.get("quantized", False))}
 
     def detect_bytes(self, payload: bytes, thresh: float = 0.5) -> dict:
         from PIL import Image
@@ -63,8 +144,7 @@ class DetectionService:
             im = np.asarray(im)
         except Exception as e:
             raise BadImage(f"cannot decode image: {e}") from e
-        with self._lock:
-            (scores, boxes), = self.served.detect([im])
+        scores, boxes = self.batcher.detect_one(im)
         detections, _ = report_detections(scores, boxes, self.served.cfg,
                                           thresh=thresh)
         return {"image_hw": list(im.shape), "thresh": thresh,

@@ -207,3 +207,21 @@ def test_concurrent_requests_all_served(server):
         assert code == 200
         assert obj["image_hw"] == [60, 80]
         assert isinstance(obj["detections"], list)
+
+
+def test_metrics_endpoint(server):
+    httpd, _, _ = server
+    im = np.full((50, 50), 90, np.uint8)
+    code, _ = _request(httpd, "POST", "/detect", body=_png_bytes(im))
+    assert code == 200
+    code, _ = _request(httpd, "POST", "/detect", body=b"not an image")
+    assert code == 400
+    code, m = _request(httpd, "GET", "/metrics")
+    assert code == 200
+    assert m["requests"] >= 2
+    assert m["client_errors"] >= 1
+    assert m["device_steps"] >= 1
+    assert sum(int(k) * v for k, v in
+               m["images_per_step_histogram"].items()) >= 1
+    assert m["latency_s"]["p50"] > 0
+    assert m["latency_s"]["max"] >= m["latency_s"]["p50"]

@@ -9,6 +9,9 @@ endpoint.  Run::
 Endpoints:
 
   ``GET  /healthz``         -> {"status": "ok", platform, batch_sizes, ...}
+  ``GET  /metrics``         -> request/error counts, device-step batch-size
+        histogram, and request-latency quantiles (JSON; cheap enough to
+        poll)
   ``POST /detect[?thresh=T]`` with an image file (PNG/TIFF/JPEG bytes) as
         the request body -> {"detections": [{"class", "score", "box"}, ...]}
         in original pixel coordinates (same post-processing and schema as
@@ -31,6 +34,7 @@ import io
 import json
 import math
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -116,6 +120,50 @@ class DynamicBatcher:
                 p.done.set()
 
 
+class ServerMetrics:
+    """Cheap lock-guarded counters behind ``GET /metrics``.
+
+    Latencies keep a bounded reservoir (the most recent ``cap`` request
+    latencies) so quantiles reflect current behavior and memory stays
+    O(cap) forever."""
+
+    def __init__(self, cap: int = 4096):
+        self._lock = threading.Lock()
+        self._lat = collections.deque(maxlen=cap)
+        self.requests = 0
+        self.client_errors = 0
+        self.server_errors = 0
+
+    def record(self, seconds: float, outcome: str):
+        with self._lock:
+            self.requests += 1
+            if outcome == "client_error":
+                self.client_errors += 1
+            elif outcome == "server_error":
+                self.server_errors += 1
+            else:
+                self._lat.append(seconds)
+
+    def snapshot(self, step_sizes) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {
+                "requests": self.requests,
+                "client_errors": self.client_errors,
+                "server_errors": self.server_errors,
+                "device_steps": len(step_sizes),
+                "images_per_step_histogram": dict(
+                    collections.Counter(step_sizes)),
+            }
+        if lat:
+            q = lambda p: round(lat[min(len(lat) - 1,  # noqa: E731
+                                        int(p * len(lat)))], 4)
+            out["latency_s"] = {"p50": q(0.5), "p90": q(0.9),
+                                "p99": q(0.99), "max": round(lat[-1], 4),
+                                "n": len(lat)}
+        return out
+
+
 class DetectionService:
     """The request-independent core (constructed once, shared by handlers;
     separable from HTTP for tests)."""
@@ -124,6 +172,7 @@ class DetectionService:
         from wssdl_bus_tpu.serve import load_serving
         self.served = load_serving(artifact_dir)
         self.batcher = DynamicBatcher(self.served)
+        self.metrics = ServerMetrics()
 
     def info(self) -> dict:
         m = self.served.meta
@@ -162,8 +211,12 @@ def make_handler(service: DetectionService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/healthz":
+            path = self.path.split("?")[0]
+            if path == "/healthz":
                 self._reply(200, service.info())
+            elif path == "/metrics":
+                self._reply(200, service.metrics.snapshot(
+                    service.batcher.step_sizes))
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -195,14 +248,20 @@ def make_handler(service: DetectionService):
                                            "bytes"})
                 return
             payload = self.rfile.read(n)
+            t0 = time.perf_counter()
             try:
                 result = service.detect_bytes(payload, thresh)
             except BadImage as e:
+                service.metrics.record(time.perf_counter() - t0,
+                                       "client_error")
                 self._reply(400, {"error": str(e)})
             except Exception as e:
                 # anything else (missing program, device failure) is OURS
+                service.metrics.record(time.perf_counter() - t0,
+                                       "server_error")
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             else:
+                service.metrics.record(time.perf_counter() - t0, "ok")
                 self._reply(200, result)
 
         def log_message(self, fmt, *a):  # quiet by default

@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--alter", action="store_true",
                     help="benchmark the ALTERNATING regime's weak MIL-only "
                          "step instead (2 weak images, full budgets)")
+    ap.add_argument("--sup_only", action="store_true",
+                    help="with --train: the alternating regime's SUPERVISED "
+                         "step (1 supervised image, no weak block — "
+                         "train_bus.py:334-361)")
     ap.add_argument("--network", default="VGGnet_train",
                     help="VGGnet_train or Resnet_train (see --net_depth)")
     ap.add_argument("--net_depth", type=int, default=18,
@@ -171,17 +175,26 @@ def main():
     if args.train:
         import jax.numpy as jnp
 
+        n = 1 if args.sup_only else 3  # 1 supervised [+ 2 weak]
+        if args.sup_only:
+            # the alternating regime's supervised step: same pipeline, no
+            # weak block (Solver.train_alternating builds num_ws=0)
+            eng = Engine(model, cfg, canvas, num_ws=0,
+                         selector_pair=("mass_max", "mal_max"))
+            net_tag += "_sup"
         variables, opt_state = eng.init(jax.random.PRNGKey(0))
-        gt = np.zeros((3, 20, 5), np.float32)
+        gt = np.zeros((n, 20, 5), np.float32)
         gt[0, :3] = [[100, 100, 400, 300, 1], [300, 200, 600, 500, 2],
                      [10, 10, 90, 90, 0]]
+        num_gt = np.zeros((n,), np.int32)
+        num_gt[0] = 3
         batch = {
             "data": jax.device_put(
-                rng.rand(3, canvas[0], canvas[1], 3).astype(np.float32)),
+                rng.rand(n, canvas[0], canvas[1], 3).astype(np.float32)),
             "gt_boxes": jax.device_put(gt),
-            "num_gt_boxes": jax.device_put(np.array([3, 0, 0], np.int32)),
+            "num_gt_boxes": jax.device_put(num_gt),
             "im_info": jax.device_put(np.array(
-                [[canvas[0], canvas[1], 1.33, d] for d in (0, 1, 2)],
+                [[canvas[0], canvas[1], 1.33, d] for d in range(n)],
                 np.float32)),
         }
         key, lr = jax.random.PRNGKey(1), jnp.float32(5e-4)

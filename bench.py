@@ -55,6 +55,7 @@ import time
 CPU_BASELINE_IMAGES_PER_SEC = 0.18       # --batch 1
 CPU_BASELINE_IMAGES_PER_SEC_BATCHED = 0.17  # --batch >= 2 (measured at 8)
 CPU_ALTER_BASELINE_ITERS_PER_SEC = 0.002    # --alter --cpu (455 s/iter)
+CPU_SUP_TRAIN_BASELINE_ITERS_PER_SEC = 0.064  # --train --sup_only --cpu
 
 
 def main():
@@ -95,6 +96,8 @@ def main():
                     help="static canvas (default 608x800, the SNUBH "
                          "serving canvas; smaller = quick smoke runs)")
     args = ap.parse_args()
+    if args.sup_only and (args.alter or not args.train):
+        ap.error("--sup_only modifies --train (and excludes --alter)")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -209,9 +212,11 @@ def main():
                 variables, opt_state, batch, key, lr, jnp.int32(i))
         float(ls.total)  # the chain runs through variables/opt_state
         dt = (time.perf_counter() - t0) / iters
-        # measured on this host with `python bench.py --train --cpu`:
-        # 0.003 iters/sec (338 s/iter) for the identical jitted step
-        cpu_train_baseline = 0.003
+        # measured on this host with `python bench.py --train --cpu
+        # [--sup_only]` for the identical jitted step: 0.003 iters/sec
+        # (338 s/iter) combined, 0.064 supervised-only
+        cpu_train_baseline = (CPU_SUP_TRAIN_BASELINE_ITERS_PER_SEC
+                              if args.sup_only else 0.003)
         print(json.dumps({
             "metric": f"{net_tag}_frcnn_train_iters_per_sec_"
                       f"{jax.devices()[0].platform}",

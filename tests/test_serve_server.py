@@ -160,7 +160,7 @@ def test_dynamic_batcher_coalesces():
     assert results == {i: ("r", i) for i in range(8)}
     assert b.step_sizes[0] == 1          # the lone first request
     assert max(b.step_sizes) <= 4        # capped by the exported batch
-    assert sorted(b.step_sizes[1:]) == [3, 4]  # 7 queued -> steps of 4 + 3
+    assert sorted(list(b.step_sizes)[1:]) == [3, 4]  # 7 queued -> 4 + 3
 
 
 def test_dynamic_batcher_step_failure_is_scoped():
@@ -225,3 +225,65 @@ def test_metrics_endpoint(server):
                m["images_per_step_histogram"].items()) >= 1
     assert m["latency_s"]["p50"] > 0
     assert m["latency_s"]["max"] >= m["latency_s"]["p50"]
+
+
+def test_pick_batch_snaps_to_exported_sizes():
+    """Low queue depth must NOT pad up to a big exported program: snap up
+    only when the queue fills at least half of the next export."""
+    from wssdl_bus_tpu.serve.server import DynamicBatcher
+
+    class Fake:
+        batch_sizes = [1, 8, 32]
+
+        def detect(self, images):
+            return [None] * len(images)
+
+    b = DynamicBatcher(Fake())
+    try:
+        assert b._pick_batch(1) == 1      # lone request: batch-1 program
+        assert b._pick_batch(2) == 1      # 2 < 8/2: don't pad to 8
+        assert b._pick_batch(4) == 4      # 4 >= 8/2: one padded batch-8
+        assert b._pick_batch(8) == 8
+        assert b._pick_batch(12) == 8     # 12 < 32/2: drain 8, rest next
+        assert b._pick_batch(16) == 16    # >= 32/2: one padded batch-32
+        assert b._pick_batch(100) == 32   # capped at the largest export
+    finally:
+        b.close()
+
+
+def test_batcher_failed_steps_not_in_histogram():
+    from wssdl_bus_tpu.serve.server import DynamicBatcher
+
+    class Flaky2:
+        batch_sizes = [1]
+        calls = 0
+
+        def detect(self, images):
+            Flaky2.calls += 1
+            if Flaky2.calls == 1:
+                raise RuntimeError("boom")
+            return [("ok", int(im)) for im in images]
+
+    b = DynamicBatcher(Flaky2())
+    with pytest.raises(RuntimeError, match="boom"):
+        b.detect_one(0)
+    assert b.detect_one(5) == ("ok", 5)
+    b.close()
+    assert b.failed_steps == 1
+    assert b.total_steps == 2
+    assert list(b.step_sizes) == [1]
+
+
+def test_batcher_result_count_mismatch_is_error():
+    from wssdl_bus_tpu.serve.server import DynamicBatcher
+
+    class Short:
+        batch_sizes = [1]
+
+        def detect(self, images):
+            return []  # one result too few
+
+    b = DynamicBatcher(Short())
+    with pytest.raises(RuntimeError, match="0 results for 1"):
+        b.detect_one(1)
+    b.close()

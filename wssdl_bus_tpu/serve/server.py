@@ -61,23 +61,47 @@ class DynamicBatcher:
 
     ``backend`` is anything with ``.detect(images) -> [(scores, boxes)...]``
     and ``.batch_sizes`` (a :class:`~wssdl_bus_tpu.serve.ServingModel`).
-    One daemon worker drains the queue: everything waiting (up to the
-    largest exported batch) goes into ONE ``detect`` call.  A device
-    failure fails exactly the requests in that step.
+    One daemon worker drains the queue.  The drain size SNAPS to the
+    exported batch sizes (``_pick_batch``): padding a big program to serve
+    a couple of queued images would be slower than a few small steps, so a
+    larger export is used only once the queue fills at least half of it —
+    with only batch-1 exported this degrades exactly to serialized batch-1
+    dispatch.  A device failure fails exactly the requests in that step.
     """
+
+    #: seconds a request waits on its step before giving up — generous
+    #: enough for a relay-attached cold compile, finite so a wedged worker
+    #: cannot strand request threads forever
+    STEP_TIMEOUT_S = 1800.0
 
     def __init__(self, backend, max_batch: int = None):
         self._backend = backend
-        self.max_batch = (max(backend.batch_sizes) if max_batch is None
-                          else max_batch)
+        sizes = sorted(set(backend.batch_sizes))
+        if max_batch is not None:
+            sizes = [s for s in sizes if s <= max_batch] or [max_batch]
+        self._sizes = sizes
+        self.max_batch = sizes[-1]
         self._queue = collections.deque()
         self._cv = threading.Condition()
         self._closed = False
-        # batch sizes of completed steps (observability + tests)
-        self.step_sizes = []
+        # recent completed-step batch sizes (bounded) + lifetime counters
+        self.step_sizes = collections.deque(maxlen=4096)
+        self.total_steps = 0
+        self.failed_steps = 0
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="wssdl-batcher")
         self._worker.start()
+
+    def _pick_batch(self, qlen: int) -> int:
+        """How many requests to drain for a queue of ``qlen``: the smallest
+        exported size >= qlen if the queue fills at least half of it
+        (bounded padding, one step); otherwise the largest exported size
+        <= qlen (no padding, the rest ride the next step)."""
+        fits = [s for s in self._sizes if s >= qlen]
+        if fits and qlen * 2 >= fits[0]:
+            return min(qlen, fits[0])
+        under = [s for s in self._sizes if s <= qlen]
+        return under[-1] if under else min(qlen, self._sizes[0])
 
     def detect_one(self, im):
         """Submit one image; blocks until its step completes."""
@@ -87,9 +111,16 @@ class DynamicBatcher:
                 raise RuntimeError("batcher is closed")
             self._queue.append(p)
             self._cv.notify()
-        p.done.wait()
+        if not p.done.wait(timeout=self.STEP_TIMEOUT_S):
+            raise RuntimeError(
+                f"batched device step did not complete in "
+                f"{self.STEP_TIMEOUT_S:.0f}s")
         if p.error is not None:
-            raise p.error
+            # wrap per request: re-raising one shared exception instance
+            # from several threads races on its __traceback__
+            raise RuntimeError(f"batched step failed: "
+                               f"{type(p.error).__name__}: {p.error}") \
+                from p.error
         return p.result
 
     def close(self):
@@ -105,19 +136,29 @@ class DynamicBatcher:
                     self._cv.wait()
                 if self._closed and not self._queue:
                     return
-                batch = [self._queue.popleft()
-                         for _ in range(min(len(self._queue),
-                                            self.max_batch))]
+                n = self._pick_batch(len(self._queue))
+                batch = [self._queue.popleft() for _ in range(n)]
+            failed = True
             try:
                 results = self._backend.detect([p.im for p in batch])
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"backend returned {len(results)} results for "
+                        f"{len(batch)} images")
                 for p, r in zip(batch, results):
                     p.result = r
-            except Exception as e:  # noqa: BLE001 — forwarded per request
+                failed = False
+            except BaseException as e:  # noqa: BLE001 — forwarded per req
                 for p in batch:
                     p.error = e
-            self.step_sizes.append(len(batch))
-            for p in batch:
-                p.done.set()
+            finally:
+                self.total_steps += 1
+                if failed:
+                    self.failed_steps += 1
+                else:
+                    self.step_sizes.append(len(batch))
+                for p in batch:
+                    p.done.set()
 
 
 class ServerMetrics:
@@ -144,16 +185,18 @@ class ServerMetrics:
             else:
                 self._lat.append(seconds)
 
-    def snapshot(self, step_sizes) -> dict:
+    def snapshot(self, batcher) -> dict:
         with self._lock:
             lat = sorted(self._lat)
             out = {
                 "requests": self.requests,
                 "client_errors": self.client_errors,
                 "server_errors": self.server_errors,
-                "device_steps": len(step_sizes),
+                "device_steps": batcher.total_steps,
+                "failed_steps": batcher.failed_steps,
+                # over the most recent successful steps (bounded window)
                 "images_per_step_histogram": dict(
-                    collections.Counter(step_sizes)),
+                    collections.Counter(batcher.step_sizes)),
             }
         if lat:
             q = lambda p: round(lat[min(len(lat) - 1,  # noqa: E731
@@ -215,8 +258,7 @@ def make_handler(service: DetectionService):
             if path == "/healthz":
                 self._reply(200, service.info())
             elif path == "/metrics":
-                self._reply(200, service.metrics.snapshot(
-                    service.batcher.step_sizes))
+                self._reply(200, service.metrics.snapshot(service.batcher))
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 

@@ -23,6 +23,13 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="dataset mode (SNUBH / SNUBH_FG / UDIAT)")
     parser.add_argument("--norm_type", default="BN", type=str,
                         help="normalization type (BN / GN)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 conv/dense compute (f32 params, "
+                             "losses and detection geometry)")
+    parser.add_argument("--remat", default=None,
+                        choices=["true", "false", "head", "trunk"],
+                        help="override the backbone's activation-remat "
+                             "default (models/detector.py:build_detector)")
     parser.add_argument("--data_dir", default="/root/reference/SNUBH_BUS",
                         type=str, help="SNUBH_BUS dataset root")
     parser.add_argument("--set_cfgs", default=None, nargs=argparse.REMAINDER,
@@ -48,8 +55,14 @@ def build_model(args, cfg: Config):
     predict so num_classes and the GN params cannot drift between them)."""
     from wssdl_bus_tpu.models.detector import build_detector
 
+    remat = {None: None, "true": True, "false": False}.get(
+        getattr(args, "remat", None), getattr(args, "remat", None))
     return build_detector(args.network, args.net_depth, args.norm_type,
                           num_classes=3,
+                          compute_dtype=("bfloat16"
+                                         if getattr(args, "bf16", False)
+                                         else None),
+                          remat=remat,
                           gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                      cfg.TRAIN.GN_MIN_CHS_PER_G))
 

@@ -50,7 +50,10 @@ def main():
               seed=(int(np.random.randint(2 ** 31))
                     if args.randomize else None),
               mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-              eval_batch=args.eval_batch)
+              eval_batch=args.eval_batch,
+              compute_dtype=('bfloat16' if args.bf16 else None),
+              remat={None: None, 'true': True,
+                     'false': False}.get(args.remat, args.remat))
 
 
 if __name__ == "__main__":

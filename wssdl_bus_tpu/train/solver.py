@@ -655,7 +655,8 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, pretrained_model, opt, lr,
                   lr_scheduling, vis, max_iters, cfg, net_depth, norm_type,
                   dataset, canvas_hw, num_ws, selector_pair, use_prefetch,
-                  resume, seed=None, mesh_data=1, mesh_model=1, eval_batch=1):
+                  resume, seed=None, mesh_data=1, mesh_model=1, eval_batch=1,
+                  compute_dtype=None, remat=None):
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.models.detector import build_detector
 
@@ -669,6 +670,7 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                                             if cfg.TRAIN.USE_CROPPING
                                             else 0.0))
     model = build_detector(network, net_depth, norm_type, num_classes=3,
+                           compute_dtype=compute_dtype, remat=remat,
                            gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                       cfg.TRAIN.GN_MIN_CHS_PER_G))
     from wssdl_bus_tpu.parallel import build_engine
@@ -689,7 +691,7 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
               vis=False, *, cfg=None, net_depth=18, norm_type="BN",
               dataset="SNUBH", canvas_hw=None, use_prefetch=None,
               resume=False, seed=None, mesh_data=1, mesh_model=1,
-              eval_batch=1) -> Solver:
+              eval_batch=1, compute_dtype=None, remat=None) -> Solver:
     """Combined-minibatch training (reference ``train_net``,
     train_bus.py:1073-1088).  The s/ws window arguments are accepted for
     signature parity; like the reference's ``train_model`` they are unused in
@@ -704,7 +706,8 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=None, selector_pair=("mal_max", "mal_max"),
         use_prefetch=use_prefetch, resume=resume, seed=seed,
-        mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch)
+        mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch,
+        compute_dtype=compute_dtype, remat=remat)
     print("Solving...")
     solver.train_combined()
     print("done solving")
@@ -719,7 +722,7 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
                     net_depth=18, norm_type="BN", dataset="SNUBH",
                     canvas_hw=None, use_prefetch=None, resume=False,
                     seed=None, mesh_data=1, mesh_model=1,
-                    eval_batch=1) -> Solver:
+                    eval_batch=1, compute_dtype=None, remat=None) -> Solver:
     """Alternating-minibatch training (reference ``train_net_alter``,
     train_bus.py:1055-1070).  Supervised-only training: pass
     ``ws_start_iter > max_iters`` (train_alter.py:3-5)."""
@@ -729,7 +732,8 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
         cfg, net_depth, norm_type, dataset, canvas_hw,
         num_ws=0, selector_pair=("mass_max", "mal_max"),
         use_prefetch=use_prefetch, resume=resume, seed=seed,
-        mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch)
+        mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch,
+        compute_dtype=compute_dtype, remat=remat)
     print("Solving...")
     solver.train_alternating(s_start_iter, s_end_iter, ws_start_iter,
                              ws_end_iter)

@@ -237,3 +237,49 @@ def test_quantize_for_serving_rejects_resnet():
     eng = Engine(model, cfg, CANVAS)
     with pytest.raises(NotImplementedError):
         eng.quantize_for_serving(None, [])
+
+
+def test_quant_detections_track_f32_after_training(rng):
+    """The accuracy contract on a TRAINED (overfit) model, not random
+    weights: after ~30 supervised steps on one synthetic image, the int8
+    path's detections must track the f32 path — same top-scoring box
+    (IoU), close probabilities on valid rois."""
+    cfg = tiny_cfg().with_overrides(["ANCHOR_SCALES", "(2, 4, 8)"])
+    model = FasterRCNN(backbone="VGGnet")
+    eng = Engine(model, cfg, CANVAS, dataset="SNUBH")
+    variables, opt_state = eng.init(jax.random.PRNGKey(0))
+    batch = synth_batch(rng)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        key, k = jax.random.split(key)
+        variables, opt_state, ls = eng.train_step(
+            variables, opt_state, batch, k, jnp.float32(2e-3), jnp.int32(i))
+        if first is None:
+            first = float(ls.total)
+    # it learned something (adam eps=0.1 — the reference quirk — damps
+    # updates, so the bar is progress, not convergence)
+    assert float(ls.total) < first
+
+    data, im_info = batch["data"][:1], batch["im_info"][:1, :3]
+    qtrunk = eng.quantize_for_serving(variables, [data])
+    out_f = eng.inference_step(variables, data, im_info)
+    out_q = eng.inference_step_quant(qtrunk, variables, data, im_info)
+    valid_f = np.asarray(out_f[1], bool)
+    valid_q = np.asarray(out_q[1], bool)
+
+    def top_box(out, valid):
+        prob = np.asarray(out[3])[:, 1:].max(-1)
+        prob = np.where(valid, prob, -1.0)
+        i = int(prob.argmax())
+        return np.asarray(out[0])[i, 1:5], prob[i]
+
+    bf, sf = top_box(out_f, valid_f)
+    bq, sq = top_box(out_q, valid_q)
+    ix1, iy1 = np.maximum(bf[:2], bq[:2])
+    ix2, iy2 = np.minimum(bf[2:], bq[2:])
+    inter = max(0.0, ix2 - ix1 + 1) * max(0.0, iy2 - iy1 + 1)
+    area = lambda b: (b[2] - b[0] + 1) * (b[3] - b[1] + 1)  # noqa: E731
+    iou = inter / (area(bf) + area(bq) - inter)
+    assert iou > 0.6, (bf, bq, sf, sq)
+    assert abs(sf - sq) < 0.1, (sf, sq)

@@ -68,6 +68,26 @@ def test_augment_vgg_vs_resnet_scaling(rng):
     np.testing.assert_allclose((v / r)[mask], cfg.PIXEL_STD, rtol=1e-3)
 
 
+def test_multiscale_test_config_fails_loudly(rng):
+    """Multi-scale TEST.SCALES must hard-fail at inference, never silently
+    sample one scale: the reference's live RPN path asserts single-scale
+    (test_bus.py:209) and its image pyramid feeds only the dead
+    HAS_RPN=False path (test_bus.py:48-104).  Training keeps the
+    reference's random per-image scale draw (minibatch_bus.py:24-25)."""
+    from wssdl_bus_tpu.data.augment import prep_image
+
+    im = (rng.rand(300, 400) * 255).astype(np.uint8)
+    cfg = Config().with_overrides(["TEST.SCALES", "(400, 600)",
+                                   "TRAIN.SCALES", "(400, 600)"])
+    with pytest.raises(NotImplementedError, match="multi-scale"):
+        prep_image(im, "VGGnet_test", cfg, is_training=False, is_ws=False,
+                   rng=rng)
+    # training multi-scale stays supported (random draw per image)
+    out, _ = prep_image(im, "VGGnet_train", cfg, is_training=True,
+                        is_ws=False, rng=rng)
+    assert min(out.shape) in (400, 600)
+
+
 def test_loader_slots_layout(monkeypatch):
     """slots>1 stacks per-slot minibatches contiguously along axis 0 —
     the global-batch layout parallel.engine shards over the data axis —

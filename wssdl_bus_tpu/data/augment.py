@@ -83,9 +83,27 @@ def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
 
     im = im - cfg.PIXEL_MEAN / 255.0
 
-    scales = t.SCALES if is_training else cfg.TEST.SCALES
-    max_size = t.MAX_SIZE if is_training else cfg.TEST.MAX_SIZE
-    target = scales[rng.randint(len(scales))] if len(scales) > 1 else scales[0]
+    if is_training:
+        # reference training picks one random scale per image
+        # (minibatch_bus.py:24-25 scale_inds = npr.randint(len(SCALES)))
+        scales, max_size = t.SCALES, t.MAX_SIZE
+        target = scales[rng.randint(len(scales))] if len(scales) > 1 \
+            else scales[0]
+    else:
+        # The reference's RPN inference path asserts single-scale
+        # (test_bus.py:209 ``assert len(im_scales) == 1``): the multi-blob
+        # image pyramid built by _get_image_blob (:48-76) is consumable only
+        # by the dead HAS_RPN=False external-proposal path (:79-104).  Fail
+        # loudly instead of silently sampling one scale (see COMPONENT_MAP
+        # deadpool notes).
+        scales, max_size = cfg.TEST.SCALES, cfg.TEST.MAX_SIZE
+        if len(scales) != 1:
+            raise NotImplementedError(
+                f"TEST.SCALES={list(scales)}: multi-scale test-time image "
+                "pyramids are not supported with RPN proposals — the "
+                "reference itself asserts len(im_scales) == 1 on this path "
+                "(test_bus.py:209); set a single TEST scale")
+        target = scales[0]
     h, w = im.shape
     im_scale = compute_scale(h, w, target, max_size)
     out_h = int(np.round(h * im_scale))

@@ -42,10 +42,15 @@ def main():
                                                vgg_stem_reference,
                                                fused_stem_ok)
 
+    os.environ.setdefault("WSSDL_FUSED_STEM", "1")  # the tool measures it
     rng = np.random.RandomState(0)
     nb, H, W = args.batch, 608, 800
-    print("fused_stem_ok:", fused_stem_ok((nb, H, W, 3)),
-          "backend:", jax.default_backend())
+    ok = fused_stem_ok((nb, H, W, 3))
+    print("fused_stem_ok:", ok, "backend:", jax.default_backend())
+    if not ok:
+        print("SKIP: fused stem not eligible here (needs a TPU backend and "
+              "an eligible [B, H, W, 3] shape); nothing to measure")
+        return
 
     w1 = jax.device_put((rng.randn(3, 3, 3, 64) * 0.1).astype(np.float32))
     b1 = jax.device_put((rng.randn(64) * 0.1).astype(np.float32))

@@ -40,12 +40,15 @@ class TrunkRPN(nn.Module):
     train: bool = True
 
     @nn.compact
-    def __call__(self, data):
+    def __call__(self, data, stem_done: bool = False):
         if self.backbone == "VGGnet":
-            feat = VGG16Backbone(train=self.train, name="backbone")(data)
+            feat = VGG16Backbone(train=self.train, name="backbone")(
+                data, stem_done=stem_done)
             rpn = ConvBlock(512, 3, 1, train=self.train,
                             name="rpn_conv")(feat)
         else:
+            if stem_done:
+                raise ValueError("stem_done is a VGG-only fast path")
             feat = ResNetBackbone(depth=self.depth, norm=self.norm,
                                   train=self.train, name="backbone")(data)
             defs, kind = RESNET_DEFS[self.depth]
@@ -130,19 +133,46 @@ class FasterRCNN:
         return {"trunk": dict(trunk_vars), "head": dict(head_vars)}
 
     def apply_trunk(self, variables, data, train: bool):
-        """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates)."""
+        """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates).
+
+        With ``WSSDL_FUSED_STEM=1`` on TPU at eligible shapes, the VGG
+        conv1_1→conv1_2→pool1 stage runs as the fused Pallas stem kernel
+        (``ops/conv1_pallas.py``; bit-exact against the XLA stem on device,
+        currently opt-in while it trails the XLA stem on wall clock — see
+        the kernel's STATUS note).  Valid in TRAINING too: VGG conv1/conv2
+        are frozen — reference ``VGGnet_train_bus.py:45-49``
+        ``trainable=False``, here the optimizer mask
+        (train/engine.py:vgg_frozen_mask) — so no gradient ever flows
+        through the stem and the ``stop_gradient`` around the kernel
+        (which has no VJP) changes nothing.  (An unfrozen-conv1 experiment
+        must keep the gate off, else conv1 grads are silently zero.)
+        """
         module = self._trunk(train)
         f32 = lambda t: jax.tree.map(  # noqa: E731
             lambda a: a.astype(jnp.float32), t)
+
+        stem_done = False
+        if self.backbone == "VGGnet":
+            from wssdl_bus_tpu.ops.conv1_pallas import (fused_stem_ok,
+                                                        vgg_stem_fused)
+            if fused_stem_ok(data.shape):
+                p = variables["trunk"]["params"]["backbone"]
+                data = jax.lax.stop_gradient(vgg_stem_fused(
+                    data,
+                    p["conv1_1"]["conv"]["kernel"],
+                    p["conv1_1"]["conv"]["bias"],
+                    p["conv1_2"]["conv"]["kernel"],
+                    p["conv1_2"]["conv"]["bias"]))
+                stem_done = True
 
         def fwd(v, d):
             with compute_dtype_scope(self.compute_dtype), \
                     gn_config_scope(*self.gn_params):
                 if train:
-                    out, mutated = module.apply(v, d,
+                    out, mutated = module.apply(v, d, stem_done=stem_done,
                                                 mutable=["batch_stats"])
                     return f32(out), mutated.get("batch_stats")
-                return f32(module.apply(v, d)), None
+                return f32(module.apply(v, d, stem_done=stem_done)), None
 
         if self._remat("trunk") and train:
             fwd = jax.checkpoint(fwd)

@@ -17,17 +17,24 @@ from wssdl_bus_tpu.models.layers import ConvBlock, Fc, max_pool
 
 
 class VGG16Backbone(nn.Module):
+    """``stem_done=True`` means ``x`` is already the pooled conv1 output
+    (computed by the fused Pallas stem, ``ops/conv1_pallas.py``) and the
+    conv1_1/conv1_2/pool1 stage is skipped.  Param declaration is
+    unconditional at init (init always runs ``stem_done=False``), so the
+    variable tree is identical either way."""
+
     train: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stem_done: bool = False):
         def conv(name, feats, inp):
             return ConvBlock(feats, kernel=3, stride=1, name=name,
                              train=self.train)(inp)
 
-        x = conv("conv1_1", 64, x)
-        x = conv("conv1_2", 64, x)
-        x = max_pool(x, 2, 2, "VALID")
+        if not stem_done:
+            x = conv("conv1_1", 64, x)
+            x = conv("conv1_2", 64, x)
+            x = max_pool(x, 2, 2, "VALID")
         x = conv("conv2_1", 128, x)
         x = conv("conv2_2", 128, x)
         x = max_pool(x, 2, 2, "VALID")

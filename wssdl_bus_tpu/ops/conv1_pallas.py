@@ -26,16 +26,24 @@ plain biased convs + VALID 2x2/2 maxpool of
     XLA (halo 2 rows/cols for the two 3x3 convs), one grid step per chunk
     — the only HBM traffic is the 3-channel input chunks in and the
     pooled 64-channel output out (~37 MB/image vs ~0.5 GB);
-  * conv1_1 is an im2col matmul: 9 flat shifted copies of the (rows, 3)
+  * conv1_1 is an im2col matmul: 9 flat shifted views of the (rows, 3)
     chunk are lane-concatenated into patches (rows, 27) and hit the MXU
     as ONE K=27 matmul (21% utilisation instead of 2%, and only 1.7 GF);
-  * conv1_2 packs the 3 dy-taps channel-wise: lane-concatenating the
-    three row-shifted views of conv1_1's output gives (rows, 192), and
-    the 3 dx-taps become 3 accumulated K=192 matmuls — full-depth MXU
-    pipelining instead of 9 K=64 passes;
-  * row shifts are FLAT sublane offsets over the (row-major) flattened
-    chunk, so every "shifted view" is a contiguous slice: the 2 garbage
-    columns this wraps into each row are dropped at the pool stage;
+  * conv1_2 packs, per dx-tap, the 3 dy-shifted views of conv1_1's output
+    channel-wise into (rows, 192) and accumulates 3 K=192 matmuls — the
+    same 4.5 MXU K-passes as a single K=576 matmul, without materialising
+    the 576-lane operand;
+  * every "shifted view" is a FLAT sublane offset over the (row-major)
+    flattened chunk, realised as a direct REF LOAD at the offset
+    (``ref[pl.ds(off, m), :]``) — the one shifted-view idiom this Mosaic
+    lowers correctly (tools/probe_mosaic*.py: value-slices at offsets and
+    constant rolls fold into lazy layout offsets that ``tpu.concatenate``
+    rejects; dynamic rotates reject unaligned shapes; and offset loads
+    feeding a matmul DIRECTLY compile but produce wrong values — loads
+    must flow through a concatenate).  conv1_1's output is staged through
+    a VMEM scratch ref so conv1_2's views can be loads too.  The 2
+    garbage columns each flat shift wraps into a row are dropped at the
+    pool stage;
   * the 2x2 maxpool runs on the VMEM-resident conv1_2 output.
 
 Numerics: matmuls run bf16 x bf16 -> f32 on the MXU, which is exactly how
@@ -44,10 +52,21 @@ COMPONENT_MAP.md perf notes), so the fused stem matches the XLA stem to
 bf16 rounding (tests assert ~1e-2 relative; exact on pow2 grids).  Biases,
 ReLUs, tap accumulation and the pool are f32.
 
-Used for INFERENCE only (the train path keeps XLA convs: conv1/conv2 are
-frozen — reference VGGnet_train_bus.py:45-49 — so no backward exists, but
-autodiff through ``pallas_call`` would need a custom VJP we don't want on
-a path whose weights never train).  Gated by ``fused_stem_ok``.
+Wired into inference AND the training forward
+(``models/detector.py:FasterRCNN.apply_trunk``): VGG conv1/conv2 are frozen
+— reference VGGnet_train_bus.py:45-49 ``trainable=False``, enforced here
+by the optimizer mask — so no gradient ever flows through the stem and the
+``stop_gradient`` wrapper (the kernel has no VJP) changes nothing.
+
+STATUS (measured on v5e, tools/check_stem_tpu.py): this kernel is
+BIT-EXACT against the XLA stem on device but currently ~2x SLOWER
+(4.14 vs 2.07 ms/img at batch 8) — tools/probe_stem_phases.py shows the
+XLA-side overlapping-chunk materialisation alone costs 2.9 ms/img (the
+narrow 3-lane blocks are physically padded to 128 lanes on the VMEM side
+of the pipeline DMA), dwarfing the in-kernel compute (~1.2 ms).  It is
+therefore gated OPT-IN: ``fused_stem_ok`` returns True only with
+``WSSDL_FUSED_STEM=1``.  The fix is a width-in-lanes data layout (channels
+in sublanes), which is the follow-up design.
 """
 
 from __future__ import annotations
@@ -64,7 +83,8 @@ from jax.experimental.pallas import tpu as pltpu
 BH = 8          # conv1_2 output rows per grid step (even: pool pairs rows)
 _HALO = 4       # 2 rows of conv1_1 halo + 2 of padding margin
 
-__all__ = ["vgg_stem_fused", "vgg_stem_reference", "fused_stem_ok"]
+__all__ = ["vgg_stem_fused", "vgg_stem_reference", "fused_stem_ok",
+           "stem_shape_ok"]
 
 
 def vgg_stem_reference(x, w1, b1, w2, b2):
@@ -84,14 +104,10 @@ def vgg_stem_reference(x, w1, b1, w2, b2):
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def fused_stem_ok(shape) -> bool:
-    """Fused-stem eligibility for an [B, H, W, 3] input: TPU backend, the
-    row/column chunking divides evenly, and not opted out via
-    ``WSSDL_FUSED_STEM=0``."""
-    if os.environ.get("WSSDL_FUSED_STEM", "1") == "0":
-        return False
-    if jax.default_backend() != "tpu":
-        return False
+def stem_shape_ok(shape) -> bool:
+    """Pure shape eligibility for the fused stem: [B, H, W, 3] with the
+    row/column chunking dividing evenly.  Backend/opt-out gating lives in
+    ``fused_stem_ok``; ``vgg_stem_fused`` enforces THIS predicate itself."""
     if len(shape) != 4 or shape[3] != 3:
         return False
     h, w = shape[1], shape[2]
@@ -99,28 +115,47 @@ def fused_stem_ok(shape) -> bool:
     return h % (2 * BH) == 0 and w % 4 == 0 and h >= 2 * BH and w >= 16
 
 
-def _stem_kernel(xc_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+def fused_stem_ok(shape) -> bool:
+    """Fused-stem eligibility for an [B, H, W, 3] input: TPU backend, the
+    row/column chunking divides evenly, and OPTED IN via
+    ``WSSDL_FUSED_STEM=1`` (opt-in while the kernel trails the XLA stem —
+    see the STATUS note in the module docstring)."""
+    if os.environ.get("WSSDL_FUSED_STEM", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return stem_shape_ok(shape)
+
+
+def _stem_kernel(xc_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, a1_ref,
                  *, wloc: int, wout: int):
     """One (batch, row-chunk, col-half) grid step.
 
-    xc_ref:  (1, 1, 1, (BH+_HALO+1) * wloc, 3) bf16 — flattened padded
-             input rows for this chunk (row-major (row, col)).
+    xc_ref:  (1, 1, 1, (BH+_HALO+1) * wloc, 3) f32 — flattened padded
+             input rows for this chunk (row-major (row, col)).  f32 (not
+             bf16): the flat shifted views are ref loads feeding a
+             concatenate, and sub-32-bit relayouts are the weak spot of
+             this Mosaic; the bf16 cast happens on the concatenated
+             patches, which is bit-identical to casting first (the
+             shuffles are permutations).
     w1_ref:  (27, 64)  bf16 — conv1_1 kernel, (dy, dx, c) flat.
     b1_ref:  (1, 64)   f32
     w2_ref:  (3, 192, 64) bf16 — conv1_2 kernel regrouped per dx-tap,
              lane order (dy, c).
     b2_ref:  (1, 64)   f32
     out_ref: (1, BH // 2, wout, 64) f32 — pooled output tile.
+    a1_ref:  (m1, 64) f32 VMEM scratch — conv1_1 output staged so
+             conv1_2's shifted views can be ref loads.
     """
-    xf = xc_ref[0, 0, 0]                       # (rows*wloc, 3) bf16
     m1 = (BH + 2) * wloc + 2                   # conv1_1 rows (+2: dy-slices)
     m2 = BH * wloc                             # conv1_2 rows
+    assert 2 * wloc + 2 + m1 <= xc_ref.shape[3]  # shifted windows fit
 
-    # conv1_1: patches (m1, 27) by lane-concatenating 9 flat-shifted views
-    # (all offsets are static Python ints -> plain strided slices)
-    taps = [xf[dy * wloc + dx: dy * wloc + dx + m1, :]
+    # conv1_1: patches (m1, 27) by lane-concatenating 9 flat-shifted views,
+    # each a direct ref load at its offset (see module docstring)
+    taps = [xc_ref[0, 0, 0, pl.ds(dy * wloc + dx, m1), :]
             for dy in range(3) for dx in range(3)]
-    patches = jnp.concatenate(taps, axis=1)    # (m1, 27) bf16
+    patches = jnp.concatenate(taps, axis=1).astype(jnp.bfloat16)  # (m1, 27)
     a1 = jnp.dot(patches, w1_ref[:], preferred_element_type=jnp.float32)
     a1 = jnp.maximum(a1 + b1_ref[0, :], 0.0)
 
@@ -138,18 +173,20 @@ def _stem_kernel(xc_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             | jnp.logical_and(i == pl.num_programs(1) - 1,
                               f >= (BH + 1) * wloc)
             | (f % wloc == jnp.where(j == 0, 0, wloc - 3)))
-    a1 = jnp.where(halo, 0.0, a1).astype(jnp.bfloat16)
+    a1_ref[:] = jnp.where(halo, 0.0, a1)       # stage for shifted-view loads
 
-    # conv1_2: pack the 3 dy-taps into lanes -> K=192, 3 dx matmuls
-    a1cat = jnp.concatenate(
-        [a1[dy * wloc: dy * wloc + m2 + 2, :] for dy in range(3)],
-        axis=1)                                # (m2+2, 192) bf16
-    acc = jnp.dot(a1cat[0:m2, :], w2_ref[0],
-                  preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(a1cat[1:m2 + 1, :], w2_ref[1],
-                        preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(a1cat[2:m2 + 2, :], w2_ref[2],
-                        preferred_element_type=jnp.float32)
+    # conv1_2: per dx-tap, lane-concatenate the 3 dy-shifted views of a1
+    # into (m2, 192) and accumulate a K=192 matmul — 4.5 MXU K-passes
+    # total, same as one K=576.  The lhs MUST be a concatenate result:
+    # offset loads feeding jnp.dot directly miscompile (probe P,
+    # tools/probe_mosaic2.py).
+    acc = jnp.zeros((m2, 64), jnp.float32)
+    for dx in range(3):
+        lhs = jnp.concatenate(
+            [a1_ref[pl.ds(dy * wloc + dx, m2), :] for dy in range(3)],
+            axis=1).astype(jnp.bfloat16)       # (m2, 192)
+        acc = acc + jnp.dot(lhs, w2_ref[dx],
+                            preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + b2_ref[0, :], 0.0)   # (m2, 64) f32
 
     # 2x2/2 maxpool; the last (wloc - 2*wout) columns per row are the
@@ -167,6 +204,12 @@ def vgg_stem_fused(x, w1, b1, w2, b2, out_dtype=jnp.float32,
     Requires ``fused_stem_ok(x.shape)`` (or ``interpret=True`` for CPU
     correctness tests).  Weights are the ConvBlock params: w1 [3,3,3,64],
     w2 [3,3,64,64], biases [64]."""
+    if not stem_shape_ok(x.shape):
+        raise ValueError(
+            f"vgg_stem_fused: input shape {tuple(x.shape)} fails the "
+            f"chunking preconditions (need [B, H, W, 3] with H % {2 * BH} "
+            "== 0, W % 4 == 0, W >= 16) — gate call sites on "
+            "fused_stem_ok()")
     B, H, W, _ = x.shape
     nrow = H // BH
     wout = W // 4                   # pooled cols per half
@@ -174,7 +217,11 @@ def vgg_stem_fused(x, w1, b1, w2, b2, out_dtype=jnp.float32,
 
     # pad 2 rows/cols each side (+1 extra row: the flat-shift reads of the
     # final chunk run one row past its 12-row window)
-    xp = jnp.pad(x.astype(jnp.bfloat16),
+    # f32 chunks (not bf16): the in-kernel shifted-view loads feed a
+    # concatenate and sub-32-bit relayouts are this Mosaic's weak spot.
+    # The input stream is 3 channels — doubling it is noise next to the
+    # 64-ch pooled output stream; the bf16 cast moves inside the kernel.
+    xp = jnp.pad(x.astype(jnp.float32),
                  ((0, 0), (2, 3), (2, 2), (0, 0)))
     rows = BH + _HALO + 1
     # overlapping (rows x wloc) chunks, flattened row-major so in-kernel
@@ -186,7 +233,8 @@ def vgg_stem_fused(x, w1, b1, w2, b2, out_dtype=jnp.float32,
     xc = xc.reshape(B, nrow, 2, rows * wloc, 3)
 
     w1m = w1.reshape(27, 64).astype(jnp.bfloat16)
-    # (dy, dx, ci, co) -> per-dx (dy*64 + ci, co)
+    # (dy, dx, ci, co) -> per-dx (dy*64 + ci, co): the kernel's per-dx lhs
+    # lane order is (dy-tap, channel)
     w2m = jnp.transpose(w2, (1, 0, 2, 3)).reshape(3, 192, 64) \
              .astype(jnp.bfloat16)
     b1m = b1.reshape(1, 64).astype(jnp.float32)
@@ -205,6 +253,7 @@ def vgg_stem_fused(x, w1, b1, w2, b2, out_dtype=jnp.float32,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM(((BH + 2) * wloc + 2, 64), jnp.float32)],
         out_specs=pl.BlockSpec((1, BH // 2, wout, 64),
                                lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
@@ -213,7 +262,7 @@ def vgg_stem_fused(x, w1, b1, w2, b2, out_dtype=jnp.float32,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 64 * (27 + 9 * 64),
-            bytes_accessed=xc.size * 2 + B * (H // 2) * (W // 2) * 64 * 4,
+            bytes_accessed=xc.size * 4 + B * (H // 2) * (W // 2) * 64 * 4,
             transcendentals=0),
     )(xc, w1m, b1m, w2m, b2m)
     return out.astype(out_dtype)

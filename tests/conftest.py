@@ -17,6 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (same recipe as __graft_entry__.py): the
+# engine/parallel/CLI suites pay multi-minute cold compiles; cached reruns
+# start in seconds.  Opt out with WSSDL_JAX_CACHE_DIR="".
+from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -10,8 +10,33 @@ detection ops ran as py_funcs.)
 import os
 
 
+def _host_fingerprint() -> str:
+    """A short tag identifying the host CPU's ISA feature set.
+
+    The XLA:CPU AOT cache embeds the *compile-time* machine features; an
+    entry written on one host and loaded on another with different features
+    is at best a warning flood and at worst a SIGILL.  Scoping the cache
+    directory by a feature-set hash keeps entries host-compatible (the
+    shared home directory travels across driver hosts)."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha1(feats.encode()).hexdigest()[:10]
+    return f"{platform.machine()}-{tag}"
+
+
 def enable_compilation_cache():
-    """Point JAX's persistent compilation cache at a package-scoped default.
+    """Point JAX's persistent compilation cache at a package-scoped default
+    (keyed by a host-CPU fingerprint — see ``_host_fingerprint``).
 
     Respects configuration the host process already made: if
     ``jax_compilation_cache_dir`` is set (via ``jax.config.update`` or the
@@ -20,7 +45,8 @@ def enable_compilation_cache():
     """
     cache = os.environ.get(
         "WSSDL_JAX_CACHE_DIR",
-        os.path.expanduser("~/.cache/wssdl_bus_tpu/jax-cache"))
+        os.path.expanduser(
+            f"~/.cache/wssdl_bus_tpu/jax-cache-{_host_fingerprint()}"))
     if not cache or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
     try:

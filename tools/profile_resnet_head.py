@@ -41,8 +41,13 @@ def chain_timed(step, datas, iters=20, warmup=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--norm", default=None, choices=[None, "BN", "GN"],
+                    help="match bench.py: norm=None at serving (BN folds "
+                         "to scale/shift at inference anyway)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip_full", action="store_true",
+                    help="skip the full-step measurement (big axon compile)")
     ap.add_argument("--canvas", type=int, nargs=2, default=(608, 800))
     args = ap.parse_args()
 
@@ -61,7 +66,8 @@ def main():
     nb = args.batch
     rng = np.random.RandomState(0)
 
-    model = build_detector("Resnet_train", args.depth, num_classes=3)
+    model = build_detector("Resnet_train", args.depth, norm=args.norm,
+                           num_classes=3)
     eng = Engine(model, cfg, canvas)
     variables, _ = eng.init(jax.random.PRNGKey(0))
 
@@ -71,21 +77,25 @@ def main():
         np.tile(np.array([[canvas[0], canvas[1], 1.0, 0.0]], np.float32),
                 (nb, 1)))
 
-    # 1. full inference step
-    @jax.jit
-    def full_step(c, data):
-        outs = eng._inference_impl(variables, data + c * 1e-9, im_info)
-        return c + outs[2][0, 0] * 1e-9
+    # 1. full inference step (axon compiles are NOT persistently cached and
+    # this graph takes ~15 min to build; --skip_full when it is already known)
+    if not args.skip_full:
+        @jax.jit
+        def full_step(c, data):
+            outs = eng._inference_impl(variables, data + c * 1e-9, im_info)
+            return c + outs[2][0, 0] * 1e-9
 
-    t_full = chain_timed(full_step, datas, args.iters)
-    print(f"full step   {t_full * 1e3:8.2f} ms  "
-          f"({t_full / nb * 1e3:6.3f} ms/img, {nb / t_full:6.1f} img/s)")
+        t_full = chain_timed(full_step, datas, args.iters)
+        print(f"full step   {t_full * 1e3:8.2f} ms  "
+              f"({t_full / nb * 1e3:6.3f} ms/img, {nb / t_full:6.1f} img/s)")
 
-    # 2. trunk alone
-    trunk = ResNetBackbone(depth=args.depth, norm="BN", train=False)
-    tvars = {"params": variables["params"]["backbone"],
-             "batch_stats": variables.get("batch_stats", {}).get(
-                 "backbone", {})}
+    # 2. trunk alone (engine variables: {'trunk': vars, 'head': vars},
+    # trunk params nest the backbone under 'backbone')
+    trunk = ResNetBackbone(depth=args.depth, norm=args.norm, train=False)
+    tvars = {"params": variables["trunk"]["params"]["backbone"]}
+    bs = variables["trunk"].get("batch_stats", {}).get("backbone")
+    if bs:
+        tvars["batch_stats"] = bs
 
     @jax.jit
     def trunk_step(c, data):
@@ -98,11 +108,9 @@ def main():
 
     # 3. head alone, sweeping the ROI count
     c_in = 256 if args.depth in (18, 34) else 1024
-    head = ResNetRCNNHead(depth=args.depth, norm="BN", num_classes=3,
+    head = ResNetRCNNHead(depth=args.depth, norm=args.norm, num_classes=3,
                           train=False)
-    hvars = {"params": variables["params"]["rcnn_head"],
-             "batch_stats": variables.get("batch_stats", {}).get(
-                 "rcnn_head", {})}
+    hvars = variables["head"]
     for n_roi in (300, 300 * nb):
         feats = [jax.device_put(
             rng.rand(n_roi, 7, 7, c_in).astype(np.float32))

@@ -17,12 +17,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compilation cache (same recipe as __graft_entry__.py): the
-# engine/parallel/CLI suites pay multi-minute cold compiles; cached reruns
-# start in seconds.  Opt out with WSSDL_JAX_CACHE_DIR="".
-from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache  # noqa: E402
+# Persistent XLA compilation cache: OPT-IN for tests via
+# WSSDL_JAX_CACHE_DIR=<dir>.  Enabling it by default made the full suite
+# segfault/abort inside jax's cache write (executable.serialize() in
+# compilation_cache.put_executable_and_time, XLA:CPU, jax 0.9.0) after
+# ~150 tests — reproduced twice at different tests, never in short runs.
+# Cached reruns of the slow suites start in seconds when opted in; the
+# default lane relies on `-m "not slow"` for wall time instead.
+if os.environ.get("WSSDL_JAX_CACHE_DIR"):
+    from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache
 
-enable_compilation_cache()
+    enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,5 +1,13 @@
 """Race XLA-level recompositions of the VGG stem (no Pallas).
 
+VERDICT ON THE bf16 VARIANTS (see tools/check_bf16_store_tpu.py): the
+bf16_act*/bf16_up wins measured here do NOT transfer to the full trunk.
+This probe's jit boundary pins its output (and, transitively, the last
+stage) to f32, which blocks XLA's excess-precision auto-demotion; inside
+the real trunk XLA already stores the whole conv chain in bf16 and the
+explicit casts are a bit-identical no-op.  The p_mm/s2d/pool results
+stand (all slower than XLA's own conv strategy at these shapes).
+
 The fused Pallas stem (ops/conv1_pallas.py) is gated opt-in because its
 chunk-DMA lane padding makes it 2x slower than XLA's stem.  Before the
 channels-in-sublanes kernel redesign, measure how far PLAIN XLA can be
@@ -174,6 +182,17 @@ def main():
         a = jnp.maximum(conv(a, w2) + b2, 0.0)
         return pool_rw(a)
     variants["s2d"] = stem_s2d
+
+    def stem_bf16_up(x):
+        # like bf16_act2 but the stored bf16 activations are UPCAST to f32
+        # before each consumer (what flax promotion would do): answers
+        # whether XLA materializes the f32 upcast buffer (erasing the HBM
+        # win) or fuses it into the conv read
+        a = jnp.maximum(conv(x, w1) + b1, 0.0).astype(jnp.bfloat16)
+        a = jnp.maximum(conv(a.astype(jnp.float32), w2) + b2, 0.0)
+        a = a.astype(jnp.bfloat16)
+        return pool_rw(a).astype(jnp.float32)
+    variants["bf16_up"] = stem_bf16_up
 
     # conv2-block extension: does bf16 activation storage keep paying at
     # 304x400x128?  (separate output shape -> compared only to each other)

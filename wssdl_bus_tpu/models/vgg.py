@@ -21,7 +21,18 @@ class VGG16Backbone(nn.Module):
     (computed by the fused Pallas stem, ``ops/conv1_pallas.py``) and the
     conv1_1/conv1_2/pool1 stage is skipped.  Param declaration is
     unconditional at init (init always runs ``stem_done=False``), so the
-    variable tree is identical either way."""
+    variable tree is identical either way.
+
+    Precision note (measured, tools/check_bf16_store_tpu.py): explicit
+    bf16 activation-storage casts between these convs are a NO-OP on TPU —
+    XLA's excess-precision elimination already stores the whole
+    conv/pool chain (weights AND activations) in bf16 in the optimized
+    HLO, because every consumer is a conv that truncates its operands to
+    bf16 anyway.  Standalone stem microbenchmarks that show a bf16-storage
+    win (tools/probe_stem_xla.py) are an artifact of their jit OUTPUT
+    boundary, which pins the last activation to f32 and blocks the
+    auto-demotion; inside the full trunk there is nothing left to save.
+    """
 
     train: bool = True
 

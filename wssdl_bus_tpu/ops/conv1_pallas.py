@@ -10,13 +10,17 @@ Why this exists (measured on v5e, batch 8, 608x800, tools/profile_conv1.py):
 
 which is ~57% of the VGG trunk and ~46% of the whole batched serving step
 (tools/profile_vgg_blocks.py: every other conv block already runs at the
-~195 TF/s MXU roofline).  Three structural problems XLA cannot fix at
-these shapes: (a) conv1_1's contraction depth is 3·3·3=27 — the MXU's
-K dimension is 128, so a direct conv runs at ~2% utilisation; (b) the
-full-resolution intermediates (608·800·64·4B = 124 MB/image) round-trip
-HBM twice between the convs and the pool (~0.5 GB/image of traffic);
-(c) ``reduce_window`` lowers to a windowed reduction that re-reads its
-124 MB input at ~1/4 of the HBM copy rate.
+~195 TF/s MXU roofline).  The structural problem XLA cannot fix at these
+shapes: conv1_1's contraction depth is 3·3·3=27 — the MXU's K dimension
+is 128, so a direct conv runs at ~2% utilisation — and the conv1_2/pool
+schedule only reaches ~26 TF/s at N=64.  (CORRECTION, r03 measured: HBM
+traffic is NOT the f32 story originally assumed here — XLA's
+excess-precision elimination already stores the whole conv chain,
+weights and activations, in bf16 in the optimized HLO; explicit bf16
+storage casts are a bit-identical NO-OP, tools/check_bf16_store_tpu.py.
+The intermediates round-trip ~62 MB/image in bf16, a ~0.3 ms/img
+bandwidth floor; the remaining ~1.7 ms/img gap is conv scheduling, which
+is exactly what this kernel attacks.)
 
 The kernel strategy (all shapes static; reference semantics are the
 plain biased convs + VALID 2x2/2 maxpool of

@@ -16,6 +16,11 @@ from wssdl_bus_tpu.train.engine import Engine
 
 CANVAS = (96, 128)
 
+# the module fixtures export (jit + StableHLO serialize) whole inference
+# programs -> multi-minute cold compiles; fast-lane serve coverage is the
+# pure-host batcher logic in test_serve_server.py
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg():
     return Config().with_overrides([

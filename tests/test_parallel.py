@@ -56,6 +56,7 @@ def test_tp_head_matches_flax_inference(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_grads_average_single_device(setup):
     """Pure DP (model axis 1): parallel-step losses == mean of per-slot
     single-device losses computed with the same folded keys."""
@@ -87,6 +88,7 @@ def test_dp_grads_average_single_device(setup):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_runs(setup):
     cfg, model = setup
     mesh = make_mesh(n_data=4, n_model=2)
@@ -112,6 +114,7 @@ def test_dp_tp_train_step_runs(setup):
     np.testing.assert_allclose(np.asarray(cls_prob).sum(-1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh11_matches_single_device_bitwise(setup):
     """A (1,1) mesh must reproduce the single-device Engine trajectory
     bitwise: no key folding, pmean over one slot is the identity (the
@@ -142,6 +145,7 @@ def test_mesh11_matches_single_device_bitwise(setup):
                                       err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_mil_step_parallel_dp(setup):
     """Alternating-regime weak step under dp=2: loss equals the mean of the
     per-slot single-device MIL losses with the same folded keys; params move
@@ -183,6 +187,7 @@ def test_mil_step_parallel_dp(setup):
     np.testing.assert_allclose(np.asarray(mil), np.mean(mils), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_shape_8x1_and_2x4(setup):
     """Other mesh shapes: pure-DP over all 8 virtual devices, and a
     model-major (2,4) split."""
@@ -200,6 +205,7 @@ def test_mesh_shape_8x1_and_2x4(setup):
             assert np.isfinite(np.asarray(l)), (n_data, n_model, ls)
 
 
+@pytest.mark.slow
 def test_resnet_dp_and_tp_guard(setup):
     """ResNet scales via the data axis only: the TP head is VGG-specific
     (parallel/engine.py ctor guard), and a dp=2 ResNet-18 step trains."""
@@ -224,6 +230,7 @@ def test_resnet_dp_and_tp_guard(setup):
         np.asarray(v2["head"]["params"]["cls_score"]["dense"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_inference_parallel_matches_single_device(setup):
     """inference_step_parallel == per-image single-device inference_step
     (the claim in parallel/engine.py that each slot reproduces the
@@ -255,6 +262,7 @@ def test_inference_parallel_matches_single_device(setup):
                                    np.asarray(bb_i), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_eval_step_sharded_dp(setup):
     """On a pure-DP mesh an eval batch that divides the data axis is
     sharded (one image per slot here): per-image losses come back [B] and
@@ -284,6 +292,7 @@ def test_eval_step_sharded_dp(setup):
     assert np.asarray(ls1.total).shape == (1,)
 
 
+@pytest.mark.slow
 def test_tp_head_backward_matches_flax(setup):
     """Gradients through the TP head (incl. the psum-backward f-operator)
     equal the single-device flax head's for both the params and the shared

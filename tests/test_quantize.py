@@ -92,6 +92,7 @@ def _rescaled_variables(model, variables, rng, weight_std=0.05):
 
 
 # --------------------------------------------------------------------- #
+@pytest.mark.slow
 def test_calibration_records_absmax(model_and_vars, rng):
     model, variables = model_and_vars
     variables = _rescaled_variables(model, variables, rng)
@@ -109,6 +110,7 @@ def test_calibration_records_absmax(model_and_vars, rng):
         assert scales[name] > 0.0
 
 
+@pytest.mark.slow
 def test_weight_quantization_roundtrip(model_and_vars, rng):
     model, variables = model_and_vars
     variables = _rescaled_variables(model, variables, rng)
@@ -131,6 +133,7 @@ def _pow2_below(x):
     return np.float32(2.0 ** np.floor(np.log2(x)))
 
 
+@pytest.mark.slow
 def test_quant_apply_exact_on_pow2_grids(model_and_vars, rng):
     """Weights/data/scales on power-of-two grids: jit == numpy bitwise."""
     model, variables = model_and_vars
@@ -187,6 +190,7 @@ def test_quant_apply_exact_on_pow2_grids(model_and_vars, rng):
     assert feat_jit.any(), "degenerate all-zero features"
 
 
+@pytest.mark.slow
 def test_quant_apply_close_to_f32(model_and_vars, rng):
     """Realistic random weights: the quantized trunk tracks the f32 trunk
     within a few percent relative RMS, and the RPN head outputs follow."""
@@ -209,6 +213,7 @@ def test_quant_apply_close_to_f32(model_and_vars, rng):
     assert np.isfinite(np.asarray(feat_q)).all()
 
 
+@pytest.mark.slow
 def test_engine_inference_step_quant(rng):
     """Engine integration: the quantized inference step produces the same
     output structure as the f32 step, with finite values and near-equal
@@ -239,6 +244,7 @@ def test_quantize_for_serving_rejects_resnet():
         eng.quantize_for_serving(None, [])
 
 
+@pytest.mark.slow
 def test_quant_detections_track_f32_after_training(rng):
     """The accuracy contract on a TRAINED (overfit) model, not random
     weights: after ~30 supervised steps on one synthetic image, the int8

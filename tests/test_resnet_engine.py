@@ -11,6 +11,10 @@ from tests.test_engine import CANVAS, synth_batch, tiny_cfg
 from wssdl_bus_tpu.models.detector import FasterRCNN
 from wssdl_bus_tpu.train.engine import Engine
 
+# full ResNet train-step compiles are multi-minute on CPU; fast-lane ResNet
+# coverage is the trunk/head forward in test_models.py
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("norm", ["BN", "GN"])
 def test_resnet18_train_and_inference(norm, rng):

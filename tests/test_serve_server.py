@@ -55,6 +55,7 @@ def _request(httpd, method, path, body=None):
     return out
 
 
+@pytest.mark.slow
 def test_healthz(server):
     httpd, _, _ = server
     code, obj = _request(httpd, "GET", "/healthz")
@@ -64,6 +65,7 @@ def test_healthz(server):
     assert obj["canvas_hw"] == list(CANVAS)
 
 
+@pytest.mark.slow
 def test_detect_matches_library_path(server):
     httpd, eng, variables = server
     im = np.full((100, 120), 128, np.uint8)
@@ -79,6 +81,7 @@ def test_detect_matches_library_path(server):
     assert obj["detections"] == json.loads(json.dumps(want))
 
 
+@pytest.mark.slow
 def test_bad_requests(server):
     httpd, _, _ = server
     code, obj = _request(httpd, "GET", "/nope")
@@ -97,6 +100,7 @@ def test_bad_requests(server):
     assert code == 400
 
 
+@pytest.mark.slow
 def test_oversized_body_rejected(server, monkeypatch):
     import wssdl_bus_tpu.serve.server as srv
     httpd, _, _ = server
@@ -105,6 +109,7 @@ def test_oversized_body_rejected(server, monkeypatch):
     assert code == 413
 
 
+@pytest.mark.slow
 def test_internal_fault_is_500(server, monkeypatch):
     httpd, _, _ = server
     im = np.full((40, 40), 128, np.uint8)
@@ -185,6 +190,7 @@ def test_dynamic_batcher_step_failure_is_scoped():
     b.close()
 
 
+@pytest.mark.slow
 def test_concurrent_requests_all_served(server):
     """End-to-end: concurrent POSTs against the real artifact all return
     200 with the detection schema."""
@@ -209,6 +215,7 @@ def test_concurrent_requests_all_served(server):
         assert isinstance(obj["detections"], list)
 
 
+@pytest.mark.slow
 def test_metrics_endpoint(server):
     httpd, _, _ = server
     im = np.full((50, 50), 90, np.uint8)

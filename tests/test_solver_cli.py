@@ -21,8 +21,13 @@ SMALL_CFGS = [
 
 DATA = "/root/reference/SNUBH_BUS"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(DATA),
-                                reason="SNUBH_BUS samples not present")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(DATA),
+                       reason="SNUBH_BUS samples not present"),
+    # every test here is a real CLI training/eval run -> multi-minute cold
+    # XLA compiles; CLI/config parsing stays fast-lane via test_config_loader
+    pytest.mark.slow,
+]
 
 
 def run_cli(main_fn, argv):

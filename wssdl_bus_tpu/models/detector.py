@@ -145,17 +145,25 @@ class FasterRCNN:
     def apply_trunk(self, variables, data, train: bool):
         """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates).
 
-        With ``WSSDL_FUSED_STEM=1`` on TPU at eligible shapes, the VGG
-        conv1_1→conv1_2→pool1 stage runs as the fused Pallas stem kernel
-        (``ops/conv1_pallas.py``; bit-exact against the XLA stem on device,
-        currently opt-in while it trails the XLA stem on wall clock — see
-        the kernel's STATUS note).  Valid in TRAINING too: VGG conv1/conv2
-        are frozen — reference ``VGGnet_train_bus.py:45-49``
-        ``trainable=False``, here the optimizer mask
-        (train/engine.py:vgg_frozen_mask) — so no gradient ever flows
-        through the stem and the ``stop_gradient`` around the kernel
-        (which has no VJP) changes nothing.  (An unfrozen-conv1 experiment
-        must keep the gate off, else conv1 grads are silently zero.)
+        VGG stem dispatch on TPU at eligible shapes:
+
+          * default: the stem TAIL runs as the fused Pallas kernel
+            ``ops/conv2_pool_pallas.py`` (XLA conv1_1, then
+            conv1_2+relu+pool fused; bf16-rounding numerics — the same
+            rounding XLA's own conv lowering applies).  ``WSSDL_STEM_TAIL=0``
+            opts out; the f32 compute path only.
+          * with ``WSSDL_FUSED_STEM=1``: the FULL fused stem kernel
+            (``ops/conv1_pallas.py``; bit-exact against the XLA stem on
+            device, opt-in while it trails the XLA stem on wall clock —
+            see its STATUS note).
+
+        Valid in TRAINING too: VGG conv1/conv2 are frozen — reference
+        ``VGGnet_train_bus.py:45-49`` ``trainable=False``, here the
+        optimizer mask (train/engine.py:vgg_frozen_mask) — so no gradient
+        ever flows through the stem and the ``stop_gradient`` around the
+        kernels (which have no VJP) changes nothing.  (An unfrozen-conv1
+        experiment must keep both gates off, else conv1 grads are
+        silently zero.)
         """
         module = self._trunk(train)
         f32 = lambda t: jax.tree.map(  # noqa: E731
@@ -165,6 +173,9 @@ class FasterRCNN:
         if self.backbone == "VGGnet":
             from wssdl_bus_tpu.ops.conv1_pallas import (fused_stem_ok,
                                                         vgg_stem_fused)
+            from wssdl_bus_tpu.ops.conv2_pool_pallas import (conv2_pool_ok,
+                                                             vgg_conv1_1,
+                                                             vgg_conv2_pool)
             if fused_stem_ok(data.shape):
                 p = variables["trunk"]["params"]["backbone"]
                 data = jax.lax.stop_gradient(vgg_stem_fused(
@@ -172,6 +183,24 @@ class FasterRCNN:
                     p["conv1_1"]["conv"]["kernel"],
                     p["conv1_1"]["conv"]["bias"],
                     p["conv1_2"]["conv"]["kernel"],
+                    p["conv1_2"]["conv"]["bias"]))
+                stem_done = True
+            elif conv2_pool_ok(data.shape) and self.compute_dtype is None:
+                # stem TAIL kernel (ops/conv2_pool_pallas.py), ON by
+                # default on TPU: conv1_1 stays in XLA, conv1_2+pool run
+                # fused in Pallas.  Restricted to the f32 compute path —
+                # under a bf16 compute_dtype the ConvBlock graph casts
+                # differently and bf16 was measured throughput-neutral
+                # for VGG anyway (bench.py docstring).
+                p = variables["trunk"]["params"]["backbone"]
+                # bf16 conv1_1 output: the cast fuses into the conv
+                # epilogue (measured free) and makes the kernel's pair-
+                # packed view a zero-cost reshape
+                a1 = vgg_conv1_1(data, p["conv1_1"]["conv"]["kernel"],
+                                 p["conv1_1"]["conv"]["bias"],
+                                 out_dtype=jnp.bfloat16)
+                data = jax.lax.stop_gradient(vgg_conv2_pool(
+                    a1, p["conv1_2"]["conv"]["kernel"],
                     p["conv1_2"]["conv"]["bias"]))
                 stem_done = True
 

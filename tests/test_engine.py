@@ -196,3 +196,60 @@ def test_engine_value_identity_shares_jit_cache(engine_and_vars, rng):
         jnp.float32(5e-4), jnp.int32(0))
     assert np.isfinite(np.asarray(losses.total))
     assert Engine.train_step._cache_size() == before
+
+
+def test_stem_kernel_gated_on_frozen_mask(monkeypatch):
+    """The no-VJP Pallas stem kernels may only dispatch in TRAINING while
+    the optimizer provably freezes conv1/conv2 (VGGnet_train_bus.py:45-49);
+    an unfrozen-stem configuration must fall through to the XLA stem so
+    conv1 gradients are real instead of silently zero."""
+    import wssdl_bus_tpu.ops.conv1_pallas as c1
+    import wssdl_bus_tpu.ops.conv2_pool_pallas as c2
+    from wssdl_bus_tpu.train.engine import stem_mask_is_frozen, \
+        vgg_frozen_mask
+
+    cfg = tiny_cfg()
+    model = FasterRCNN(backbone="VGGnet")
+    eng = Engine(model, cfg, CANVAS)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+
+    # the default masked optimizer freezes the stem; a hand-assigned tx
+    # cannot be introspected, so it conservatively disables the kernels
+    params = {"trunk": variables["trunk"]["params"],
+              "head": variables["head"]["params"]}
+    assert stem_mask_is_frozen(vgg_frozen_mask(params))
+    assert not stem_mask_is_frozen(
+        jax.tree_util.tree_map(lambda _: True, params))
+    assert eng.stem_frozen
+    saved_tx = eng.tx
+    eng.tx = saved_tx
+    assert not eng.stem_frozen
+    eng.stem_frozen = True
+    assert eng.stem_frozen
+
+    # structural dispatch check: force shape/backend eligibility and record
+    # kernel calls through shape-correct fakes
+    calls = []
+
+    def fake_conv1_1(data, w, b, out_dtype=jnp.float32):
+        calls.append("conv1_1")
+        return jnp.zeros(data.shape[:3] + (64,), out_dtype)
+
+    def fake_tail(a1, w, b):
+        calls.append("tail")
+        return jnp.zeros((a1.shape[0], a1.shape[1] // 2, a1.shape[2] // 2,
+                          64), jnp.float32)
+
+    monkeypatch.setattr(c1, "fused_stem_ok", lambda shape: False)
+    monkeypatch.setattr(c2, "conv2_pool_ok", lambda shape: True)
+    monkeypatch.setattr(c2, "vgg_conv1_1", fake_conv1_1)
+    monkeypatch.setattr(c2, "vgg_conv2_pool", fake_tail)
+
+    data = jnp.zeros((1, *CANVAS, 3), jnp.float32)
+    model.apply_trunk(variables, data, train=True, stem_frozen=True)
+    assert calls == ["conv1_1", "tail"]
+    calls.clear()
+    model.apply_trunk(variables, data, train=True, stem_frozen=False)
+    assert calls == []                      # fell through to the XLA stem
+    model.apply_trunk(variables, data, train=False, stem_frozen=False)
+    assert calls == ["conv1_1", "tail"]     # inference never trains the stem

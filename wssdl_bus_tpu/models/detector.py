@@ -142,7 +142,8 @@ class FasterRCNN:
             head_vars = self._head(train=False).init(k2, dummy_roi)
         return {"trunk": dict(trunk_vars), "head": dict(head_vars)}
 
-    def apply_trunk(self, variables, data, train: bool):
+    def apply_trunk(self, variables, data, train: bool,
+                    stem_frozen: bool = True):
         """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates).
 
         VGG stem dispatch on TPU at eligible shapes:
@@ -157,20 +158,26 @@ class FasterRCNN:
             device, opt-in while it trails the XLA stem on wall clock —
             see its STATUS note).
 
-        Valid in TRAINING too: VGG conv1/conv2 are frozen — reference
-        ``VGGnet_train_bus.py:45-49`` ``trainable=False``, here the
-        optimizer mask (train/engine.py:vgg_frozen_mask) — so no gradient
-        ever flows through the stem and the ``stop_gradient`` around the
-        kernels (which have no VJP) changes nothing.  (An unfrozen-conv1
-        experiment must keep both gates off, else conv1 grads are
-        silently zero.)
+        Valid in TRAINING too because VGG conv1/conv2 are frozen —
+        reference ``VGGnet_train_bus.py:45-49`` ``trainable=False``, here
+        the optimizer mask (train/engine.py:vgg_frozen_mask) — so no
+        gradient ever flows through the stem and the ``stop_gradient``
+        around the kernels (which have no VJP) changes nothing.  That
+        coupling is ENFORCED, not just documented: with ``train=True`` the
+        kernels dispatch only when ``stem_frozen`` is True (the Engine
+        passes ``stem_mask_is_frozen`` of its actual optimizer mask,
+        train/engine.py); an unfrozen-conv1 configuration falls through to
+        the plain XLA stem, which carries real gradients.  Grad-norm
+        caveat: with the kernels on, conv1_1/conv1_2 grads are exactly
+        zero (stop_gradient) instead of nonzero-but-masked, so grad-norm
+        style diagnostics differ even though parameter updates don't.
         """
         module = self._trunk(train)
         f32 = lambda t: jax.tree.map(  # noqa: E731
             lambda a: a.astype(jnp.float32), t)
 
         stem_done = False
-        if self.backbone == "VGGnet":
+        if self.backbone == "VGGnet" and (stem_frozen or not train):
             from wssdl_bus_tpu.ops.conv1_pallas import (fused_stem_ok,
                                                         vgg_stem_fused)
             from wssdl_bus_tpu.ops.conv2_pool_pallas import (conv2_pool_ok,

@@ -90,6 +90,24 @@ def vgg_frozen_mask(params) -> dict:
         lambda path, _: mask_path(path), params)
 
 
+def stem_mask_is_frozen(mask) -> bool:
+    """True iff every conv1_*/conv2_* param leaf in an optimizer mask
+    (True = trainable, as ``vgg_frozen_mask`` builds) is NOT trainable.
+
+    Gates the Pallas stem kernels in training: they wrap the stem in
+    ``stop_gradient`` (no VJP), which is only sound while the optimizer
+    provably never updates conv1/conv2 (``FasterRCNN.apply_trunk``)."""
+    frozen = []
+
+    def visit(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        if any(n.startswith(("conv1_", "conv2_")) for n in names):
+            frozen.append(not leaf)
+
+    jax.tree_util.tree_map_with_path(visit, mask)
+    return bool(frozen) and all(frozen)
+
+
 class Engine:
     """Builds and caches the jitted step functions for one model + canvas.
 
@@ -118,6 +136,14 @@ class Engine:
         self.selector_pair = selector_pair
         self._tx = None
         self._tx_key = ("opt", opt_name)  # see the tx property
+        # whether the optimizer provably never updates conv1/conv2 (gates
+        # the no-VJP Pallas stem kernels in the TRAIN forward — see
+        # FasterRCNN.apply_trunk).  True for the default masked optimizer
+        # (init() re-derives it from the actual mask); assigning a custom
+        # ``tx`` resets it to False because an arbitrary transform can't be
+        # introspected — set ``engine.stem_frozen = True`` back explicitly
+        # if the custom tx also freezes the stem.
+        self._stem_frozen = True
 
         fh, fw = canvas_hw[0] // cfg.FEAT_STRIDE, canvas_hw[1] // cfg.FEAT_STRIDE
         self.anchors = jnp.asarray(shifted_anchors(
@@ -152,7 +178,8 @@ class Engine:
     def _static_key(self):
         return (dataclasses.astuple(self.model), self.cfg,
                 tuple(self.canvas_hw), self.n_s, self.n_ws, self.dataset,
-                self.opt_name, tuple(self.selector_pair), self._tx_key)
+                self.opt_name, tuple(self.selector_pair), self._tx_key,
+                self._stem_frozen)
 
     # The optimizer is part of the traced program (the jitted steps close
     # over ``self.tx.update``), so it must participate in value identity.
@@ -169,6 +196,20 @@ class Engine:
     def tx(self, value):
         self._tx = value
         self._tx_key = ("custom", id(value))
+        # conservative: a hand-assigned transform may train conv1/conv2,
+        # so the train forward falls back to the XLA stem (real gradients)
+        # until the caller re-asserts ``engine.stem_frozen = True``
+        self._stem_frozen = False
+
+    @property
+    def stem_frozen(self) -> bool:
+        """Whether the TRAIN forward may dispatch the no-VJP stem kernels
+        (see ``stem_mask_is_frozen`` / ``FasterRCNN.apply_trunk``)."""
+        return self._stem_frozen
+
+    @stem_frozen.setter
+    def stem_frozen(self, value: bool):
+        self._stem_frozen = bool(value)
 
     def __eq__(self, other):
         return (type(self) is type(other)
@@ -184,6 +225,7 @@ class Engine:
                   "head": variables["head"]["params"]}
         if self.model.backbone == "VGGnet":
             mask = vgg_frozen_mask(params)
+            self._stem_frozen = stem_mask_is_frozen(mask)
         else:
             mask = jax.tree_util.tree_map(lambda _: True, params)
         # bypass the tx setter: this tx is the deterministic product of the
@@ -231,7 +273,7 @@ class Engine:
         k_at, k_pt, k_drop = jax.random.split(key, 3)
 
         feat, rpn_score, rpn_bbox, bs_trunk = self.model.apply_trunk(
-            var, batch["data"], train=True)
+            var, batch["data"], train=True, stem_frozen=self._stem_frozen)
         rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
 
         at = anchor_target_layer_joint(
@@ -409,7 +451,7 @@ class Engine:
         cfg = self.cfg
         var = self._split_vars(variables, params)
         feat, rpn_score, rpn_bbox, _ = self.model.apply_trunk(
-            var, batch["data"], train=True)
+            var, batch["data"], train=True, stem_frozen=self._stem_frozen)
         rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
         props = proposal_layer(
             jax.lax.stop_gradient(rpn_prob),

@@ -40,7 +40,7 @@ plain biased convs + VALID 2x2/2 maxpool of
   * every "shifted view" is a FLAT sublane offset over the (row-major)
     flattened chunk, realised as a direct REF LOAD at the offset
     (``ref[pl.ds(off, m), :]``) — the one shifted-view idiom this Mosaic
-    lowers correctly (tools/probe_mosaic*.py: value-slices at offsets and
+    lowers correctly (tools/probe_mosaic.py + tools/PROBES.md: value-slices at offsets and
     constant rolls fold into lazy layout offsets that ``tpu.concatenate``
     rejects; dynamic rotates reject unaligned shapes; and offset loads
     feeding a matmul DIRECTLY compile but produce wrong values — loads
@@ -183,7 +183,7 @@ def _stem_kernel(xc_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, a1_ref,
     # into (m2, 192) and accumulate a K=192 matmul — 4.5 MXU K-passes
     # total, same as one K=576.  The lhs MUST be a concatenate result:
     # offset loads feeding jnp.dot directly miscompile (probe P,
-    # tools/probe_mosaic2.py).
+    # tools/PROBES.md, probe_mosaic2).
     acc = jnp.zeros((m2, 64), jnp.float32)
     for dx in range(3):
         lhs = jnp.concatenate(

@@ -13,7 +13,7 @@ every recomposition tried (tools/probe_stem_xla.py).
 
 PAIR-PACKED design (v3).  The first cut of this tail (non-overlapping
 ``[R*W, 64]`` row blocks + XLA-assembled halo tensors) measured 0.81x —
-tools/probe_stem_tail.py decomposed it: the XLA halo assembly alone cost
+tools/PROBES.md (probe_stem_tail) decomposed it: the XLA halo assembly alone cost
 0.87 ms/img (more than conv1_1!), and the 64-lane blocks waste half of
 every DMA lane-tile and half of the MXU output lanes (N=64 dots).  v3
 removes both wastes by packing each ADJACENT PIXEL PAIR into the 128-lane
@@ -50,7 +50,7 @@ minor dim:
     reshape+max as before.  Pooled f32 output only — the kernel writes
     1/8 of what conv1_2+pool write as separate XLA ops.
 
-In-kernel idioms proven in ops/conv1_pallas.py and tools/probe_mosaic*.py:
+In-kernel idioms proven in ops/conv1_pallas.py and tools/probe_mosaic.py + tools/PROBES.md:
 shifted views are direct f32 ref loads at static sublane offsets from a
 staged VMEM scratch (sub-32-bit shifted loads are this Mosaic's weak
 spot), flowing through ``jnp.concatenate`` into bf16 x bf16 -> f32 dots.
@@ -97,7 +97,7 @@ def vgg_conv1_1(x, w1, b1, out_dtype=jnp.float32):
     (f32 accumulate, SAME, biased).  Kept in XLA on purpose: at K=3x3x3=27
     the direct conv beats every recomposition tried (module docstring).
     ``out_dtype=bfloat16`` fuses the storage cast into the conv epilogue
-    (measured free — tools/probe_stem_tail.py conv11_bf16 == conv11_f32)."""
+    (measured free — tools/PROBES.md, probe_stem_tail: conv11_bf16 == conv11_f32)."""
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w1.shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(

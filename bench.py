@@ -16,8 +16,11 @@ batch 8 and used for every batch >= 2 — the CPU is compute-bound, so its
 per-image throughput is batch-insensitive), pinned so TPU runs report a
 stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
 
-Measured v5e numbers (canvas 608x800): VGG16 single-image 206 img/s,
-batch-8 258, batch-16 271, batch-32 278, batch-48 279 (saturated at the
+Measured v5e numbers (canvas 608x800; b32/b1 re-measured 2026-08-20 in
+the r04 matrix with the stem-tail kernel demoted back to opt-in after it
+measured 253.5 img/s @ b32 / ~148 @ b1 — 9% / 29% SLOWER than the XLA
+stem, the r03 driver regression): VGG16 single-image 207 img/s,
+batch-8 258, batch-16 271, batch-32 278.5-278.9, batch-48 279 (saturated at the
 trunk's conv roofline; batch-64 exhausts HBM — conv1 activations alone
 are ~160 MB/image — hence the batch-32 default, near-peak with memory
 headroom); ResNet-50 single 249 / batch-8 242 / batch-32 251 (per-ROI

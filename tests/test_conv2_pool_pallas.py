@@ -119,6 +119,13 @@ def test_tail_rejects_bad_shape(rng):
         vgg_conv2_pool(a1, w2, b2, interpret=True)
 
 
-def test_tail_opt_out_env(monkeypatch):
+def test_tail_opt_in_env(monkeypatch):
+    # the tail kernel measured slower than the XLA stem end-to-end, so it
+    # is OPT-IN (conv2_pool_pallas.py STATUS note): default off everywhere,
+    # and even opted in it still requires a TPU backend (tests are CPU)
+    monkeypatch.delenv("WSSDL_STEM_TAIL", raising=False)
+    assert not conv2_pool_ok((4, 608, 800, 64))
     monkeypatch.setenv("WSSDL_STEM_TAIL", "0")
     assert not conv2_pool_ok((4, 608, 800, 64))
+    monkeypatch.setenv("WSSDL_STEM_TAIL", "1")
+    assert not conv2_pool_ok((4, 608, 800, 64))  # CPU backend still gates

@@ -106,6 +106,8 @@ def test_solver_resume(tmp_path):
     assert "joint" in host["data_layers"]
 
 
+@pytest.mark.slow  # mesh <-> single-device resume; test_solver_resume covers the
+# subsystem in the fast lane
 def test_solver_resume_across_topologies(tmp_path):
     """Snapshots are host-fetched before orbax, so a run trained on a
     (2,1) mesh resumes on a single-device Engine and vice versa."""
@@ -156,6 +158,8 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # bit-exact trajectory, runs the solver 3x; test_solver_resume covers the
+# subsystem in the fast lane
 def test_solver_resume_exact_trajectory_combined(tmp_path):
     """--resume reproduces the uninterrupted trajectory BITWISE: a 2-iter
     run snapshotted then resumed to 4 ends with the same params as a
@@ -197,6 +201,8 @@ def test_solver_resume_exact_trajectory_combined(tmp_path):
     _assert_trees_equal(np.asarray(sa.key), np.asarray(sc.key))
 
 
+@pytest.mark.slow  # bit-exact alternating trajectory, the lane's slowest test; test_solver_resume covers the
+# subsystem in the fast lane
 def test_solver_resume_exact_trajectory_alternating(tmp_path):
     """Alternating-regime exactness: the resumed run restores BOTH data
     layers' draw state, the WS-update counter (MIL decay), the
@@ -262,6 +268,8 @@ def test_get_test_roidb_and_data_layer_factory():
                                       + cfg.TRAIN.WS_IMS_PER_BATCH)
 
 
+@pytest.mark.slow  # alternating two-optimizer resume; test_solver_resume covers the
+# subsystem in the fast lane
 def test_solver_resume_alternating_ws_state(tmp_path):
     """Alternating-regime resume: snapshots carry the WS optimizer state and
     host state (schedule, key stream), and resume restores them."""

@@ -41,6 +41,8 @@ def test_fc_fwd_matches_oracle_f32(rng):
                                ref.reshape(len(rois), -1), rtol=1e-6)
 
 
+@pytest.mark.slow  # bf16 variant; the f32 fwd+bwd oracles stay in
+# the fast lane
 def test_fc_fwd_bf16_equals_rounded_oracle(rng):
     """max(round(x)) == round(max(x)): the bf16 option's output must equal
     the f32 oracle rounded to bf16, element for element."""
@@ -78,6 +80,8 @@ def test_fc_bwd_matches_fallback_f32(rng):
     np.testing.assert_allclose(g_fc, g_f, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # bf16 bwd; the f32 fwd+bwd oracles stay in
+# the fast lane
 def test_fc_bwd_bf16_matches_fallback_on_bf16_exact_feat(rng):
     """On tie-free bf16-exact features with bf16-exact cotangent weights the
     bf16 option's f32 dfeat equals the jit fallback's exactly (no rounding
@@ -105,6 +109,8 @@ def test_fc_bwd_bf16_matches_fallback_on_bf16_exact_feat(rng):
     np.testing.assert_array_equal(g_fc, g_f)
 
 
+@pytest.mark.slow  # tie-break oracle; the f32 fwd+bwd oracles stay in
+# the fast lane
 def test_fc_bwd_ties_go_to_first_max():
     h, w, c = 16, 16, 4
     feat = jnp.zeros((h, w, c), jnp.float32)
@@ -118,6 +124,8 @@ def test_fc_bwd_ties_go_to_first_max():
     assert set(np.unique(g).tolist()) <= {0.0, 1.0}
 
 
+@pytest.mark.slow  # bwd sparsity variant; the f32 fwd+bwd oracles stay in
+# the fast lane
 def test_fc_bwd_skips_zero_cotangent_rois(rng):
     """The backward's precomputed active-flag guard must leave inactive
     rois' scatters out without changing any active roi's gradient."""
@@ -148,6 +156,8 @@ def test_fc_bwd_skips_zero_cotangent_rois(rng):
     assert int((gp != 0).sum()) > 0
 
 
+@pytest.mark.slow  # bf16 guard; the f32 fwd+bwd oracles stay in
+# the fast lane
 def test_fc_bwd_bf16_flag_guard_skips_inactive_rois(rng):
     """The bf16 option is the path that uses _fc_bwd_kernel's precomputed
     active-flag column (f32 routes through the 4-D kernel's in-kernel
@@ -182,6 +192,8 @@ def test_fc_bwd_bf16_flag_guard_skips_inactive_rois(rng):
     assert int((gp != 0).sum()) > 0
 
 
+@pytest.mark.slow  # bf16 cotangent; the f32 fwd+bwd oracles stay in
+# the fast lane
 def test_fc_bf16_primal_gets_bf16_cotangent(rng):
     """Differentiating through roi_pool_fc_image with a bfloat16 feature
     input must produce a bfloat16 dfeat (custom_vjp dtype contract)."""

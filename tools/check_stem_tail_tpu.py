@@ -53,11 +53,14 @@ def main():
 
     rng = np.random.RandomState(0)
     nb, H, W = args.batch, 608, 800
+    os.environ["WSSDL_STEM_TAIL"] = "1"  # the kernel is opt-in (demoted:
+    # measured slower end-to-end, conv2_pool_pallas.py STATUS) — this tool
+    # exists precisely to measure it, so force the gate open
     ok = conv2_pool_ok((nb, H, W, 64))
     print("conv2_pool_ok:", ok, "backend:", jax.default_backend())
     if not ok:
         print("SKIP: stem tail not eligible here (needs a TPU backend and "
-              "an eligible shape, and WSSDL_STEM_TAIL != 0)")
+              "an eligible shape)")
         return
 
     w1 = jax.device_put((rng.randn(3, 3, 3, 64) * 0.1).astype(np.float32))

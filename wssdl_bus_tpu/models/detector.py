@@ -146,13 +146,16 @@ class FasterRCNN:
                     stem_frozen: bool = True):
         """-> (feat, rpn_cls_score, rpn_bbox_pred, batch_stats_updates).
 
-        VGG stem dispatch on TPU at eligible shapes:
+        VGG stem dispatch on TPU at eligible shapes — the DEFAULT is the
+        plain XLA stem, which measured fastest at the pipeline level
+        (278.9 vs 253.5 img/s @ b32 serving; r04 bench matrix):
 
-          * default: the stem TAIL runs as the fused Pallas kernel
-            ``ops/conv2_pool_pallas.py`` (XLA conv1_1, then
+          * with ``WSSDL_STEM_TAIL=1``: the stem TAIL runs as the fused
+            Pallas kernel ``ops/conv2_pool_pallas.py`` (XLA conv1_1, then
             conv1_2+relu+pool fused; bf16-rounding numerics — the same
-            rounding XLA's own conv lowering applies).  ``WSSDL_STEM_TAIL=0``
-            opts out; the f32 compute path only.
+            rounding XLA's own conv lowering applies; f32 compute path
+            only).  Opt-in: measured 9% SLOWER end-to-end, see its
+            STATUS note.
           * with ``WSSDL_FUSED_STEM=1``: the FULL fused stem kernel
             (``ops/conv1_pallas.py``; bit-exact against the XLA stem on
             device, opt-in while it trails the XLA stem on wall clock —
@@ -193,12 +196,13 @@ class FasterRCNN:
                     p["conv1_2"]["conv"]["bias"]))
                 stem_done = True
             elif conv2_pool_ok(data.shape) and self.compute_dtype is None:
-                # stem TAIL kernel (ops/conv2_pool_pallas.py), ON by
-                # default on TPU: conv1_1 stays in XLA, conv1_2+pool run
-                # fused in Pallas.  Restricted to the f32 compute path —
-                # under a bf16 compute_dtype the ConvBlock graph casts
-                # differently and bf16 was measured throughput-neutral
-                # for VGG anyway (bench.py docstring).
+                # stem TAIL kernel (ops/conv2_pool_pallas.py), OPT-IN via
+                # WSSDL_STEM_TAIL=1 (measured slower end-to-end than the
+                # XLA stem — its STATUS note): conv1_1 stays in XLA,
+                # conv1_2+pool run fused in Pallas.  Restricted to the
+                # f32 compute path — under a bf16 compute_dtype the
+                # ConvBlock graph casts differently and bf16 was measured
+                # throughput-neutral for VGG anyway (bench.py docstring).
                 p = variables["trunk"]["params"]["backbone"]
                 # bf16 conv1_1 output: the cast fuses into the conv
                 # epilogue (measured free) and makes the kernel's pair-

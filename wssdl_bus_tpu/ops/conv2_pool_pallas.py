@@ -61,11 +61,21 @@ default precision, so the tail matches the XLA stem to bf16 rounding
 (exact on pow2-friendly inputs; tests assert both).  Bias, relu and pool
 are f32.
 
+STATUS (measured on v5e, 2026-08-20, driver bench protocol, 3 runs
+each): the v3 tail is faithful at the stem level but LOSES at the
+pipeline level — full serving bench 253.5/253.3/253.6 img/s @ b32 with
+the tail ON vs 278.9/278.5 with it OFF (the r03 driver regression,
+BENCH_r03.json 253.6 vs BENCH_r02.json 278.5, was exactly this kernel
+being switched on by default unmeasured).  Per-image (b1): 147.4-149.6 on (off: see
+README perf table).  The kernel is kept as a measured-negative record
+and is gated OPT-IN (``WSSDL_STEM_TAIL=1``); ``conv2_pool_ok`` returns
+False otherwise.  See tools/PROBES.md for the design history and
+tools/profile_vgg_blocks.py for where the stem time actually goes.
+
 Wired into ``models/detector.py:FasterRCNN.apply_trunk`` (inference AND
 the training forward — VGG conv1/conv2 are frozen, reference
 ``VGGnet_train_bus.py:45-49`` ``trainable=False``, here the optimizer
-mask — so the ``stop_gradient`` around the kernel changes nothing);
-``WSSDL_STEM_TAIL=0`` opts out.
+mask — so the ``stop_gradient`` around the kernel changes nothing).
 
 Reference semantics: ``/root/reference/code/lib/networks/
 VGGnet_train_bus.py:45-49`` (conv1_2 + pool1 of the VGG16 stem).
@@ -133,10 +143,11 @@ def conv2_pool_shape_ok(shape) -> bool:
 
 
 def conv2_pool_ok(shape) -> bool:
-    """Production eligibility for an [B, H, W, *] image/feature shape: TPU
-    backend, chunking divides evenly, and not opted out via
-    ``WSSDL_STEM_TAIL=0``."""
-    if os.environ.get("WSSDL_STEM_TAIL", "1") == "0":
+    """Eligibility for an [B, H, W, *] image/feature shape: TPU backend,
+    chunking divides evenly, and opted IN via ``WSSDL_STEM_TAIL=1``
+    (measured SLOWER than the XLA stem at the pipeline level — see the
+    STATUS note in the module docstring)."""
+    if os.environ.get("WSSDL_STEM_TAIL", "0") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -75,6 +75,11 @@ def main():
     ap.add_argument("--no_assert", action="store_true")
     ap.add_argument("--lr", type=float, default=None,
                     help="override TRAIN.LEARNING_RATE")
+    ap.add_argument("--set_cfgs", nargs="*", default=[],
+                    help="extra KEY VALUE config overrides appended last "
+                         "(e.g. TRAIN.MAX_SIZE 800 TEST.MAX_SIZE 800 to pin "
+                         "the 608x800 serving canvas, which reuses the "
+                         "persistent-cache train/eval programs)")
     args = ap.parse_args()
 
     from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache
@@ -86,6 +91,7 @@ def main():
              "TRAIN.DISPLAY", "100"]
     if args.lr is not None:
         cfgs += ["TRAIN.LEARNING_RATE", str(args.lr)]
+    cfgs += list(args.set_cfgs)
 
     out = os.path.abspath(args.out)
     from wssdl_bus_tpu.main.train import main as train_main

@@ -236,9 +236,11 @@ def test_engine_inference_step_quant(rng):
     assert np.allclose(np.asarray(out_q[3]).sum(-1), 1.0, atol=1e-5)
 
 
-def test_quantize_for_serving_rejects_resnet():
+def test_quantize_for_serving_rejects_groupnorm_resnet():
+    """GN is data-dependent at serving time (no foldable affine); the
+    int8 ResNet path supports norm None/'BN' only."""
     cfg = tiny_cfg()
-    model = FasterRCNN(backbone="Resnet", depth=18, norm="BN")
+    model = FasterRCNN(backbone="Resnet", depth=18, norm="GN")
     eng = Engine(model, cfg, CANVAS)
     with pytest.raises(NotImplementedError):
         eng.quantize_for_serving(None, [])
@@ -289,3 +291,154 @@ def test_quant_detections_track_f32_after_training(rng):
     iou = inter / (area(bf) + area(bq) - inter)
     assert iou > 0.6, (bf, bq, sf, sq)
     assert abs(sf - sq) < 0.1, (sf, sq)
+
+
+# --------------------------------------------------------------------- #
+# ResNet int8: trunk + group3 head (models/quantize.py second section)
+# --------------------------------------------------------------------- #
+from wssdl_bus_tpu.models.quantize import (_ResnetF32, _walk_resnet_trunk,
+                                           _walk_resnet_head_group,
+                                           _resnet_conv_paths,
+                                           calibrate_resnet,
+                                           quant_resnet_head_apply,
+                                           quant_resnet_trunk_apply,
+                                           quantize_resnet)
+
+RCAL = (64, 64)  # tiny ResNet canvas (feat 4x4 at stride 16)
+
+
+def _resnet_vars(depth, norm, rng, weight_std=0.08):
+    model = FasterRCNN(backbone="Resnet", depth=depth, norm=norm)
+    variables = model.init_variables(jax.random.PRNGKey(0), RCAL)
+
+    def rand_like(a):
+        if a.ndim == 4:
+            return jnp.asarray(
+                rng.randn(*a.shape).astype(np.float32) * weight_std)
+        return a
+
+    def rand_stats(path, a):  # nontrivial stats so BN folding is tested
+        if path[-1].key == "mean":
+            # near 0: a large fake mean would relu-kill an early layer
+            # and starve downstream calibration
+            return jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.05)
+        return jnp.asarray(  # variances in [0.5, ~1.5]
+            np.abs(rng.randn(*a.shape)).astype(np.float32) * 0.5 + 0.5)
+
+    out = {}
+    for part in ("trunk", "head"):
+        v = dict(variables[part])
+        v["params"] = jax.tree.map(rand_like, v["params"])
+        if "batch_stats" in v:
+            v["batch_stats"] = jax.tree_util.tree_map_with_path(
+                rand_stats, v["batch_stats"])
+        out[part] = v
+    return model, out
+
+
+@pytest.mark.parametrize("depth,norm", [(18, None), (50, "BN")])
+def test_resnet_f32_walk_matches_flax(depth, norm, rng):
+    """The shared structure walk (used by calibration and the int8 path)
+    must reproduce the flax modules exactly — this is what prevents the
+    quantized path from drifting structurally from models/resnet.py."""
+    model, variables = _resnet_vars(depth, norm, rng,
+                                    weight_std=0.08 if depth == 18 else 0.04)
+    data = jnp.asarray(rng.randn(1, *RCAL, 3).astype(np.float32))
+
+    feat_ref, cls_ref, bbox_ref, _ = model.apply_trunk(
+        variables, data, train=False)
+    tp = variables["trunk"]["params"]["backbone"]
+    ts = variables["trunk"].get("batch_stats", {}).get("backbone")
+    feat = _walk_resnet_trunk(_ResnetF32(tp, ts, norm), data, depth)
+    # rtol 1e-4: flax and the walk reach the same math through different
+    # op orders (f32 summation order differs in deep random-weight chains)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(feat_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    c = feat.shape[-1]
+    pooled = jnp.asarray(rng.randn(4, 7, 7, c).astype(np.float32))
+    cls_h, bbox_h, _ = model.apply_head(variables, pooled, train=False)
+    hp = variables["head"]["params"]
+    hs = variables["head"].get("batch_stats")
+    x = _walk_resnet_head_group(_ResnetF32(hp, hs, norm), pooled, depth)
+    x = x.mean(axis=(1, 2))
+    cls_w = x @ hp["cls_score"]["dense"]["kernel"] \
+        + hp["cls_score"]["dense"]["bias"]
+    bbox_w = x @ hp["bbox_pred"]["dense"]["kernel"] \
+        + hp["bbox_pred"]["dense"]["bias"]
+    np.testing.assert_allclose(np.asarray(cls_w), np.asarray(cls_h),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bbox_w), np.asarray(bbox_h),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("depth,kind_paths", [
+    (18, ["conv0", "group0/block0/conv1", "group0/block1/conv2",
+          "group2/block0/convshortcut"]),
+    (50, ["conv0", "group0/block0/convshortcut", "group2/block5/conv3"]),
+])
+def test_resnet_conv_path_enumeration(depth, kind_paths):
+    paths = _resnet_conv_paths(depth, "trunk")
+    for p in kind_paths:
+        assert p in paths, (p, paths)
+    # basic group0/block0 keeps 64 channels -> no shortcut conv exists
+    if depth == 18:
+        assert "group0/block0/convshortcut" not in paths
+    head = _resnet_conv_paths(depth, "head")
+    assert "group3/block0/convshortcut" in head
+    assert all(p.startswith("group3") for p in head)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("depth,norm", [(18, None), (50, "BN")])
+def test_resnet_int8_tracks_f32(depth, norm, rng):
+    """Quantized trunk/head outputs track the f32 walk within int8
+    calibration error (loose: error compounds over depth)."""
+    model, variables = _resnet_vars(depth, norm, rng, weight_std=0.05)
+    data = jnp.asarray(rng.rand(1, *RCAL, 3).astype(np.float32) * 2 - 1)
+
+    scales = calibrate_resnet(model, variables, [data])
+    assert scales["conv0"] == pytest.approx(float(jnp.abs(data).max()),
+                                            rel=1e-6)
+    q = quantize_resnet(variables, norm, depth, scales)
+    for path, layer in q["trunk"]["layers"].items():
+        assert np.abs(np.asarray(layer["qkernel"])).max() == 127, path
+
+    feat_q, cls_q, bbox_q = quant_resnet_trunk_apply(q, data, norm, depth)
+    tp = variables["trunk"]["params"]["backbone"]
+    ts = variables["trunk"].get("batch_stats", {}).get("backbone")
+    feat_f = _walk_resnet_trunk(_ResnetF32(tp, ts, norm), data, depth)
+    f, g = np.asarray(feat_f).ravel(), np.asarray(feat_q).ravel()
+    rel = np.linalg.norm(f - g) / max(np.linalg.norm(f), 1e-6)
+    assert np.isfinite(g).all()
+    assert rel < 0.35, rel  # tracks f32 through the whole trunk
+
+    c = feat_f.shape[-1]
+    pooled = jnp.asarray(
+        rng.rand(4, 7, 7, c).astype(np.float32) * float(feat_f.max()))
+    # head scales were calibrated against full-image pools; recalibrate
+    # including this tensor's range by clamping into the recorded range
+    pooled = jnp.minimum(pooled, scales[f"group3/block0/conv1"])
+    cls_i, bbox_i = quant_resnet_head_apply(q, pooled, norm, depth)
+    assert np.isfinite(np.asarray(cls_i)).all()
+    assert cls_i.shape == (4, 3) and bbox_i.shape == (4, 12)
+
+
+@pytest.mark.slow
+def test_engine_resnet_inference_step_quant(rng):
+    """Engine integration: the quantized ResNet serving step returns the
+    f32 step's output structure and sane probabilities."""
+    import jax as _jax
+    cfg = tiny_cfg()
+    model, variables = _resnet_vars(18, None, rng, weight_std=0.05)
+    eng = Engine(model, cfg, RCAL)
+    data = jnp.asarray(rng.rand(1, *RCAL, 3).astype(np.float32))
+    im_info = jnp.asarray([[RCAL[0], RCAL[1], 1.0, 0.0]], jnp.float32)
+
+    qtrunk = eng.quantize_for_serving(variables, [data])
+    out_q = eng.inference_step_quant(qtrunk, variables, data, im_info)
+    out_f = eng.inference_step(variables, data, im_info)
+    assert [np.asarray(a).shape for a in out_q] \
+        == [np.asarray(a).shape for a in out_f]
+    prob = np.asarray(out_q[3])
+    np.testing.assert_allclose(prob.sum(-1), 1.0, rtol=1e-5)

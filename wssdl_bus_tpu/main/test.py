@@ -23,8 +23,9 @@ def main():
     parser.add_argument("--batch_size", default=1, type=int,
                         help="images per device step (batched serving path)")
     parser.add_argument("--int8", action="store_true",
-                        help="evaluate the int8-quantized trunk instead "
-                             "(VGG only; models/quantize.py) — measures "
+                        help="evaluate the int8-quantized model instead "
+                             "(VGG trunk; ResNet trunk + group3 head, norm "
+                             "None/BN; models/quantize.py) — measures "
                              "quantized-vs-f32 mAP/CorLoc directly")
     parser.add_argument("--calib_imdb", default=None, type=str,
                         help="imdb whose images calibrate int8 activation "

@@ -642,19 +642,29 @@ class Engine:
 
         ``calib_batches`` iterates preprocessed [B, H, W, 3] serving
         inputs for activation-range calibration; pass ``act_scales``
-        instead to reuse recorded ranges.  Returns the quantized-trunk
-        pytree consumed by :meth:`inference_step_quant`.  VGG-only."""
-        from wssdl_bus_tpu.models.quantize import (calibrate_vgg_trunk,
-                                                   quantize_vgg_trunk)
-        if self.model.backbone != "VGGnet":
-            raise NotImplementedError(
-                "int8 serving is VGG-only (see models/quantize.py)")
+        instead to reuse recorded ranges.  Returns the quantized
+        pytree consumed by :meth:`inference_step_quant`.  VGG quantizes
+        the trunk (fc head stays f32); ResNet quantizes trunk AND the
+        group3 per-ROI conv head (norm None/'BN' only — GN is
+        data-dependent at serving time, models/quantize.py)."""
+        if self.model.backbone == "VGGnet":
+            from wssdl_bus_tpu.models.quantize import (calibrate_vgg_trunk,
+                                                       quantize_vgg_trunk)
+            if act_scales is None:
+                if calib_batches is None:
+                    raise ValueError("need calib_batches or act_scales")
+                act_scales = calibrate_vgg_trunk(self.model, variables,
+                                                 calib_batches)
+            return quantize_vgg_trunk(variables, act_scales)
+        from wssdl_bus_tpu.models.quantize import (calibrate_resnet,
+                                                   quantize_resnet)
         if act_scales is None:
             if calib_batches is None:
                 raise ValueError("need calib_batches or act_scales")
-            act_scales = calibrate_vgg_trunk(self.model, variables,
-                                             calib_batches)
-        return quantize_vgg_trunk(variables, act_scales)
+            act_scales = calibrate_resnet(self.model, variables,
+                                          calib_batches)
+        return quantize_resnet(variables, self.model.norm,
+                               self.model.depth, act_scales)
 
     def _inference_quant_impl(self, qtrunk, head_vars, data, im_info):
         """:meth:`_inference_impl` with the int8 trunk: same outputs
@@ -662,10 +672,15 @@ class Engine:
         detection geometry stay float32.  Needs only the HEAD variables —
         the trunk lives in ``qtrunk`` (so quantized serving artifacts ship
         no float trunk copy, serve/__init__.py)."""
-        from wssdl_bus_tpu.models.quantize import quant_trunk_apply
         cfg = self.cfg
-        var = {"head": head_vars}
-        feat, rpn_score, rpn_bbox = quant_trunk_apply(qtrunk, data)
+        if self.model.backbone == "VGGnet":
+            from wssdl_bus_tpu.models.quantize import quant_trunk_apply
+            feat, rpn_score, rpn_bbox = quant_trunk_apply(qtrunk, data)
+        else:
+            from wssdl_bus_tpu.models.quantize import \
+                quant_resnet_trunk_apply
+            feat, rpn_score, rpn_bbox = quant_resnet_trunk_apply(
+                qtrunk, data, self.model.norm, self.model.depth)
         rpn_prob = rpn_softmax(rpn_score, self.num_anchors)
         props = proposal_layer(
             rpn_prob, rpn_bbox, im_info, self.anchors,
@@ -676,8 +691,14 @@ class Engine:
             min_size=float(cfg.TEST.RPN_MIN_SIZE))
         rois = _rois5(props.boxes, 0)
         pooled = self._pool_for_head(feat, props.boxes)
-        cls_score, bbox_pred, _ = self.model.apply_head(var, pooled,
-                                                        train=False)
+        if self.model.backbone == "VGGnet":
+            cls_score, bbox_pred, _ = self.model.apply_head(
+                {"head": head_vars}, pooled, train=False)
+        else:
+            from wssdl_bus_tpu.models.quantize import \
+                quant_resnet_head_apply
+            cls_score, bbox_pred = quant_resnet_head_apply(
+                qtrunk, pooled, self.model.norm, self.model.depth)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred
 

@@ -70,8 +70,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute (f32 params/geometry)")
     ap.add_argument("--int8", action="store_true",
-                    help="int8 post-training-quantized trunk serving path "
-                         "(VGG only; models/quantize.py)")
+                    help="int8 post-training-quantized serving path (VGG "
+                         "trunk; ResNet trunk + group3 ROI head; "
+                         "models/quantize.py)")
     ap.add_argument("--batch", type=int, default=32,
                     help="images per inference step (the batched serving "
                          "path, evaluate/detect.py:im_detect_batch); "

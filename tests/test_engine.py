@@ -253,3 +253,36 @@ def test_stem_kernel_gated_on_frozen_mask(monkeypatch):
     assert calls == []                      # fell through to the XLA stem
     model.apply_trunk(variables, data, train=False, stem_frozen=False)
     assert calls == ["conv1_1", "tail"]     # inference never trains the stem
+
+
+@pytest.mark.slow
+def test_unfreeze_stem_trains_conv1():
+    """freeze_stem=False (the --unfreeze_stem CLI flag, for FROM-SCRATCH
+    runs) must actually update conv1/conv2 — the reference-parity default
+    must leave them untouched (VGGnet_train_bus.py:45-49)."""
+    cfg = tiny_cfg()
+    model = FasterRCNN(backbone="VGGnet")
+    rng = np.random.RandomState(3)
+    batch = synth_batch(rng)
+
+    def one_step(eng):
+        variables, opt_state = eng.init(jax.random.PRNGKey(0))
+        before = np.asarray(
+            variables["trunk"]["params"]["backbone"]["conv1_1"]["conv"]
+            ["kernel"]).copy()
+        variables, _, _ = eng.train_step(
+            variables, opt_state, batch, jax.random.PRNGKey(1),
+            jnp.float32(5e-2), jnp.int32(0))
+        after = np.asarray(
+            variables["trunk"]["params"]["backbone"]["conv1_1"]["conv"]
+            ["kernel"])
+        return float(np.abs(after - before).max())
+
+    eng_frozen = Engine(model, cfg, CANVAS)
+    assert eng_frozen.freeze_stem and one_step(eng_frozen) == 0.0
+
+    eng_free = Engine(model, cfg, CANVAS, freeze_stem=False)
+    assert not eng_free.freeze_stem
+    variables, _ = eng_free.init(jax.random.PRNGKey(0))
+    assert eng_free.stem_frozen is False  # no-VJP stem kernels disabled
+    assert one_step(eng_free) > 0.0

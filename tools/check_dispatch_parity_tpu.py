@@ -22,7 +22,13 @@ an in-process flip would silently reuse the first trace) — and compares:
 
 Use ``--model <snapshot_dir>`` for trained weights (peaked, stable
 detections — e.g. the snapshot ``tools/overfit_regression.py`` writes);
-default is the deterministic PRNGKey(0) init.
+default is the deterministic PRNGKey(0) init.  NOTE: with random-init
+weights the check is NOT meaningful — RPN scores are near-uniform, so
+the bf16 rounding of conv1_1 activations (~1e-6 on matched scores)
+flips which of thousands of near-tied proposals survive NMS, and the
+survivor SETS diverge wholesale (measured 2026-08-21: max matched score
+diff 6.6e-07 but count mismatches on every image).  Run it against a
+trained snapshot, where proposals are peaked and the set is stable.
 
 RECORDED RUN: see the bottom of this docstring — appended from the
 actual on-TPU run output (kept verbatim).

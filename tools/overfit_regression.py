@@ -95,9 +95,18 @@ def main():
 
     out = os.path.abspath(args.out)
     from wssdl_bus_tpu.main.train import main as train_main
+    # --unfreeze_stem: this is a FROM-SCRATCH run (no ImageNet weights in
+    # the image) — with the reference's frozen conv1/conv2 the stem stays
+    # at its random std-0.01 init and conv5_3 comes out nearly featureless
+    # (measured 2026-08-21: spatial std ~12% of mean after 4k iters; the
+    # RCNN head then collapses to the class prior and eval finds ZERO
+    # detections despite loss_cls ~0.1 — the low CE is the 120:8 bg:fg
+    # sampling ratio, not learning).  The reference never runs from
+    # scratch (train.py requires the .npy init), so unfreezing here tests
+    # the same learning machinery without contradicting parity defaults.
     run_cli(train_main, [
         "train.py", "--max_iters", str(args.iters), "--output_dir", out,
-        "--data_dir", DATA, "--set_cfgs", *cfgs])
+        "--unfreeze_stem", "--data_dir", DATA, "--set_cfgs", *cfgs])
 
     snaps = sorted(d for d in os.listdir(out) if "_iter_" in d)
     assert snaps, f"no snapshot written in {out}"

@@ -75,6 +75,12 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--ws_end_iter", default=60000, type=int)
     parser.add_argument("--pretrained_model", default=None, type=str,
                         help="path to an ImageNet .npy weight dict")
+    parser.add_argument("--unfreeze_stem", action="store_true",
+                        help="let VGG conv1/conv2 train (the reference "
+                             "freezes them, VGGnet_train_bus.py:45-49 — "
+                             "correct with ImageNet weights, catastrophic "
+                             "from scratch: a frozen random stem leaves the "
+                             "trunk featureless)")
     parser.add_argument("--opt", default="adam", type=str,
                         help="adam / amsgrad / sgd")
     parser.add_argument("--lr", default=5e-4, type=float)

@@ -53,7 +53,8 @@ def main():
               eval_batch=args.eval_batch,
               compute_dtype=('bfloat16' if args.bf16 else None),
               remat={None: None, 'true': True,
-                     'false': False}.get(args.remat, args.remat))
+                     'false': False}.get(args.remat, args.remat),
+              freeze_stem=not args.unfreeze_stem)
 
 
 if __name__ == "__main__":

@@ -57,7 +57,8 @@ def main():
                                    else None),
                     remat={None: None, 'true': True,
                            'false': False}.get(args.remat,
-                                               args.remat))
+                                               args.remat),
+                    freeze_stem=not args.unfreeze_stem)
 
 
 if __name__ == "__main__":

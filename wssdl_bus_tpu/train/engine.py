@@ -124,7 +124,8 @@ class Engine:
     def __init__(self, model: FasterRCNN, cfg: Config, canvas_hw,
                  num_supervised: int = None, num_ws: int = None,
                  dataset: str = "SNUBH", opt_name: str = "adam",
-                 selector_pair=("mal_max", "mal_max")):
+                 selector_pair=("mal_max", "mal_max"),
+                 freeze_stem: bool = True):
         self.model = model
         self.cfg = cfg
         self.canvas_hw = canvas_hw
@@ -134,6 +135,14 @@ class Engine:
         self.dataset = dataset
         self.opt_name = opt_name
         self.selector_pair = selector_pair
+        # reference parity default: VGG conv1/conv2 never train
+        # (VGGnet_train_bus.py:45-49 trainable=False — sensible with the
+        # ImageNet .npy init the reference always loads).  FROM-SCRATCH
+        # runs must pass False: freezing the random std-0.01 init leaves
+        # conv5_3 nearly featureless (measured: spatial std ~12% of mean
+        # after 4k overfit iters; the head then cannot distinguish ROIs
+        # and collapses to the class prior).  Ignored for ResNet.
+        self.freeze_stem = freeze_stem
         self._tx = None
         self._tx_key = ("opt", opt_name)  # see the tx property
         # whether the optimizer provably never updates conv1/conv2 (gates
@@ -179,7 +188,7 @@ class Engine:
         return (dataclasses.astuple(self.model), self.cfg,
                 tuple(self.canvas_hw), self.n_s, self.n_ws, self.dataset,
                 self.opt_name, tuple(self.selector_pair), self._tx_key,
-                self._stem_frozen)
+                self._stem_frozen, self.freeze_stem)
 
     # The optimizer is part of the traced program (the jitted steps close
     # over ``self.tx.update``), so it must participate in value identity.
@@ -223,11 +232,12 @@ class Engine:
         variables = self.model.init_variables(rng, self.canvas_hw)
         params = {"trunk": variables["trunk"]["params"],
                   "head": variables["head"]["params"]}
-        if self.model.backbone == "VGGnet":
+        if self.model.backbone == "VGGnet" and self.freeze_stem:
             mask = vgg_frozen_mask(params)
             self._stem_frozen = stem_mask_is_frozen(mask)
         else:
             mask = jax.tree_util.tree_map(lambda _: True, params)
+            self._stem_frozen = False
         # bypass the tx setter: this tx is the deterministic product of the
         # key fields (opt_name, cfg, backbone mask), so equal-config engines
         # that each init() keep sharing compiled steps

@@ -515,7 +515,8 @@ class Solver:
         if eng_ws is None:
             kw = dict(num_supervised=0, num_ws=cfg.TRAIN.WS_IMS_PER_BATCH,
                       dataset=self.eng.dataset, opt_name=self.eng.opt_name,
-                      selector_pair=("mass_max", "mal_max"))
+                      selector_pair=("mass_max", "mal_max"),
+                      freeze_stem=self.eng.freeze_stem)
             if self.mesh is not None:
                 from wssdl_bus_tpu.parallel.engine import ParallelEngine
                 eng_ws = ParallelEngine(self.eng.model, cfg,
@@ -656,7 +657,7 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                   lr_scheduling, vis, max_iters, cfg, net_depth, norm_type,
                   dataset, canvas_hw, num_ws, selector_pair, use_prefetch,
                   resume, seed=None, mesh_data=1, mesh_model=1, eval_batch=1,
-                  compute_dtype=None, remat=None):
+                  compute_dtype=None, remat=None, freeze_stem=True):
     from wssdl_bus_tpu.data.augment import max_canvas
     from wssdl_bus_tpu.models.detector import build_detector
 
@@ -674,9 +675,16 @@ def _build_solver(network, roidb_train_s, roidb_train_ws, imdb_test,
                            gn_params=(cfg.TRAIN.GN_MIN_NUM_G,
                                       cfg.TRAIN.GN_MIN_CHS_PER_G))
     from wssdl_bus_tpu.parallel import build_engine
+    if network.startswith("VGGnet") and pretrained_model is None \
+            and freeze_stem:
+        print("WARNING: training VGG FROM SCRATCH with conv1/conv2 frozen "
+              "at their random init — the trunk cannot develop features "
+              "(reference freezing assumes the ImageNet .npy init, "
+              "VGGnet_train_bus.py:45-49).  Pass --unfreeze_stem for "
+              "from-scratch runs.")
     eng = build_engine(model, cfg, canvas_hw, mesh_data, mesh_model,
                        num_ws=num_ws, dataset=dataset, opt_name=opt,
-                       selector_pair=selector_pair)
+                       selector_pair=selector_pair, freeze_stem=freeze_stem)
     return Solver(eng, cfg, network, roidb_train_s, roidb_train_ws, imdb_test,
                   roidb_test, output_dir, lr_scheduling=lr_scheduling,
                   max_iters=max_iters, pretrained=pretrained_model,
@@ -691,7 +699,8 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
               vis=False, *, cfg=None, net_depth=18, norm_type="BN",
               dataset="SNUBH", canvas_hw=None, use_prefetch=None,
               resume=False, seed=None, mesh_data=1, mesh_model=1,
-              eval_batch=1, compute_dtype=None, remat=None) -> Solver:
+              eval_batch=1, compute_dtype=None, remat=None,
+              freeze_stem=True) -> Solver:
     """Combined-minibatch training (reference ``train_net``,
     train_bus.py:1073-1088).  The s/ws window arguments are accepted for
     signature parity; like the reference's ``train_model`` they are unused in
@@ -707,7 +716,7 @@ def train_net(network, roidb_train_s, roidb_train_ws, imdb_test, roidb_test,
         num_ws=None, selector_pair=("mal_max", "mal_max"),
         use_prefetch=use_prefetch, resume=resume, seed=seed,
         mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch,
-        compute_dtype=compute_dtype, remat=remat)
+        compute_dtype=compute_dtype, remat=remat, freeze_stem=freeze_stem)
     print("Solving...")
     solver.train_combined()
     print("done solving")
@@ -722,7 +731,8 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
                     net_depth=18, norm_type="BN", dataset="SNUBH",
                     canvas_hw=None, use_prefetch=None, resume=False,
                     seed=None, mesh_data=1, mesh_model=1,
-                    eval_batch=1, compute_dtype=None, remat=None) -> Solver:
+                    eval_batch=1, compute_dtype=None, remat=None,
+                    freeze_stem=True) -> Solver:
     """Alternating-minibatch training (reference ``train_net_alter``,
     train_bus.py:1055-1070).  Supervised-only training: pass
     ``ws_start_iter > max_iters`` (train_alter.py:3-5)."""
@@ -733,7 +743,7 @@ def train_net_alter(network, roidb_train_s, roidb_train_ws, imdb_test,
         num_ws=0, selector_pair=("mass_max", "mal_max"),
         use_prefetch=use_prefetch, resume=resume, seed=seed,
         mesh_data=mesh_data, mesh_model=mesh_model, eval_batch=eval_batch,
-        compute_dtype=compute_dtype, remat=remat)
+        compute_dtype=compute_dtype, remat=remat, freeze_stem=freeze_stem)
     print("Solving...")
     solver.train_alternating(s_start_iter, s_end_iter, ws_start_iter,
                              ws_end_iter)

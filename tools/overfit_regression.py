@@ -59,10 +59,49 @@ def run_cli(main_fn, argv):
         sys.argv = old
 
 
+VGG_CONV_CHANNELS = [
+    ("conv1_1", 3, 64), ("conv1_2", 64, 64),
+    ("conv2_1", 64, 128), ("conv2_2", 128, 128),
+    ("conv3_1", 128, 256), ("conv3_2", 256, 256), ("conv3_3", 256, 256),
+    ("conv4_1", 256, 512), ("conv4_2", 512, 512), ("conv4_3", 512, 512),
+    ("conv5_1", 512, 512), ("conv5_2", 512, 512), ("conv5_3", 512, 512),
+]
+
+
+def make_he_init_npy(path, seed=0):
+    """Write a He-init VGG trunk in the reference's pretrained ``.npy``
+    layout ({scope: {'weights': [3,3,ci,co], 'biases': [co]}}).
+
+    Why this exists: no ImageNet weights ship in this environment, and the
+    reference's trunc-normal(0.01) init CANNOT train from scratch under
+    its own optimizer — activations decay ~100x per conv, trunk gradients
+    come out ~1e-6, and reference-parity adam eps=0.1 (train_bus.py:
+    694-699) then moves deep convs by ~1e-6 over 4000 iters (measured:
+    conv3_1 moved <= 2e-6 across two independent 4k-iter runs).  The
+    reference sidesteps this by REQUIRING an ImageNet .npy; a He-scaled
+    random init restores O(1) activations/gradients the same way, through
+    the very same --pretrained_model import path."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    data = {}
+    for name, ci, co in VGG_CONV_CHANNELS:
+        std = np.sqrt(2.0 / (9 * ci))
+        data[name] = {
+            "weights": (rng.randn(3, 3, ci, co) * std).astype(np.float32),
+            "biases": np.zeros(co, np.float32),
+        }
+    np.save(path, data, allow_pickle=True)
+    return path
+
+
 def parse_eval(path):
     txt = open(path).read()
-    m_ap = re.search(r"Mean AP = ([0-9.]+)", txt)
-    m_cl = re.search(r"CorLoc = ([0-9.]+)", txt)
+    m_ap = re.search(r"Mean AP = (-?[0-9.]+)", txt)
+    m_cl = re.search(r"CorLoc = (-?[0-9.]+)", txt)
+    if not (m_ap and m_cl):
+        raise SystemExit(
+            f"eval.txt has no Mean AP/CorLoc lines — eval produced no "
+            f"usable metrics.  Contents:\n{txt}")
     return float(m_ap.group(1)), float(m_cl.group(1)), txt
 
 
@@ -104,9 +143,12 @@ def main():
     # sampling ratio, not learning).  The reference never runs from
     # scratch (train.py requires the .npy init), so unfreezing here tests
     # the same learning machinery without contradicting parity defaults.
+    os.makedirs(out, exist_ok=True)
+    he_npy = make_he_init_npy(os.path.join(out, "he_init_vgg.npy"))
     run_cli(train_main, [
         "train.py", "--max_iters", str(args.iters), "--output_dir", out,
-        "--unfreeze_stem", "--data_dir", DATA, "--set_cfgs", *cfgs])
+        "--unfreeze_stem", "--pretrained_model", he_npy,
+        "--data_dir", DATA, "--set_cfgs", *cfgs])
 
     snaps = sorted(d for d in os.listdir(out) if "_iter_" in d)
     assert snaps, f"no snapshot written in {out}"

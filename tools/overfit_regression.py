@@ -19,8 +19,32 @@ convergence; the reference trajectory reaches loss ~0.9 only around
     python tools/overfit_regression.py                  # TPU, asserts
     python tools/overfit_regression.py --iters 300 --small --no_assert
 
-RECORDED RUN: see the bottom of this docstring — appended verbatim from
-the on-TPU run that pinned the floors.
+RECORDED RUN (v5e via axon relay, 2026-08-21, the run that pinned the
+floors)::
+
+    python tools/overfit_regression.py --out /tmp/wssdl_overfit4 \
+        --iters 4000 --set_cfgs TRAIN.MAX_SIZE 800 TEST.MAX_SIZE 800
+    loaded 26 pretrained arrays from .../he_init_vgg.npy
+    static canvas: (608, 816)
+    iter: 100 / 4000   total_loss: 1.0390  (rpn_cls 0.1958, rpn_box
+        0.4409, cls 0.4015, box 0.0008, mil 0.0101)
+    iter: 4000 / 4000  total_loss: 0.3945  (rpn_cls 0.0011, rpn_box
+        0.2550, cls 0.0901, box 0.0484, mil 0.0189)
+    speed: ~0.6 s/iter (host-data-bound on a 1-CPU driver host; the
+        device step itself is ~43 ms)
+    evaluation result: [1. 1. 1.]
+    AP for benign = 1.0000      CorLoc for benign = 1.0000
+    AP for malignant = 1.0000   CorLoc for malignant = 1.0000
+    Mean AP = 1.0000            CorLoc = 1.0000
+    OVERFIT REGRESSION OK: Mean AP 1.0000 >= 0.5, CorLoc 1.0000 >= 0.5
+
+The floors (0.5/0.5) are deliberately far below the recorded 1.0/1.0:
+they fail on any systemic learning regression while tolerating
+seed/backend drift.  Two negative results from the same recipe are
+recorded in the module history: (a) frozen-stem from-scratch and
+(b) unfrozen trunc-normal(0.01) from-scratch BOTH converge in loss yet
+evaluate to ZERO detections (constant-background head) — exactly the
+silent failure class this tool exists to catch.
 
 Reference: train defaults ``code/main/train.py:40-42``; eval
 ``code/lib/datasets/bus.py:263-392``.

@@ -23,11 +23,17 @@ stem, the r03 driver regression): VGG16 single-image 207 img/s,
 batch-8 258, batch-16 271, batch-32 278.5-278.9, batch-48 279 (saturated at the
 trunk's conv roofline; batch-64 exhausts HBM — conv1 activations alone
 are ~160 MB/image — hence the batch-32 default, near-peak with memory
-headroom); ResNet-50 single 249 / batch-8 242 / batch-32 251 (per-ROI
-conv head dominates); ResNet-18 single 234 / batch-8 559 / batch-32 647
-(light trunk is dispatch-bound at batch 1).  bf16 compute is throughput-neutral at every
-batch size because XLA already lowers f32 convs to single-pass bf16 MXU
-ops under the default precision.  Combined train step (1 supervised + 2
+headroom); ResNet-50 single 249 / batch-8 242 / batch-32 251 f32 —
+**285.5 int8 (trunk+head) / 289.1 bf16** at b32, r04 matrix; the
+group3 per-ROI head (154 GF/img at 300 test ROIs) scales with the ROI
+count, not the image count, so batching buys only 1.16x and ~360 is
+the practical architecture floor (tools/PROBES.md "ResNet-50 batched
+serving"); ResNet-18 single 234 / batch-8 559 / batch-32 647
+(light trunk is dispatch-bound at batch 1).  For VGG, bf16 compute is
+throughput-neutral at every batch size because XLA already lowers f32
+convs to single-pass bf16 MXU ops under the default precision; for
+R50 an explicit bf16 chain is +15% (the head/trunk activation chain
+stays bf16 in HBM).  Combined train step (1 supervised + 2
 weak images): 23.2 it/s f32 (42.0 ms device; was 20.7 before the
 anchor-target one-hot matmul (HIGHEST-precision, exact), the
 select-reduce CE (exact) and the fused pool+flatten kernel

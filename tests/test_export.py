@@ -226,3 +226,28 @@ def test_quant_artifact_detect(exported_q):
     (scores, boxes), = served.detect([im])
     assert np.isfinite(scores).all() and np.isfinite(boxes).all()
     assert scores.shape[1] == 3 and boxes.shape[1] == 12
+
+
+def test_quant_resnet_export_roundtrip(tmp_path):
+    """int8 ResNet (trunk + group3 head) artifacts export/restore and
+    reproduce the live quantized engine bitwise (r04: quantize_for_serving
+    dispatches by backbone)."""
+    cfg = tiny_cfg()
+    model = FasterRCNN(backbone="Resnet", depth=18, norm=None)
+    eng = Engine(model, cfg, CANVAS)
+    variables, _ = eng.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(7)
+    calib = rng.rand(1, *CANVAS, 3).astype(np.float32)
+    out = str(tmp_path / "artifact_rq")
+    meta = export_serving(eng, variables, out, "Resnet_test",
+                          batch_sizes=(1,), calib_batches=[calib])
+    assert meta["quantized"] is True
+    qtrunk = eng.quantize_for_serving(variables, [calib])
+    served = load_serving(out)
+    data, infos = _batch(1, seed=3)
+    want = eng.inference_step_quant(qtrunk, variables, data, infos)
+    got = served.inference_step(served.variables, data, infos)
+    for w, g, name in zip(want, got,
+                          ("rois", "valid", "cls_score", "cls_prob",
+                           "bbox_pred")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), name)

@@ -31,7 +31,8 @@ def main():
                              "--imdb_test like main/test.py")
     parser.add_argument("--imdb_test", default="bus_test", type=str)
     parser.add_argument("--int8", action="store_true",
-                        help="int8-quantize the trunk (VGG only): calibrate "
+                        help="int8-quantize (VGG trunk; ResNet trunk + "
+                             "group3 head, norm None/BN): calibrate "
                              "activation ranges on --imdb_test images and "
                              "ship int8 weights (models/quantize.py)")
     parser.add_argument("--calib_images", default=16, type=int,

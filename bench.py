@@ -28,8 +28,10 @@ headroom); ResNet-50 single 249 / batch-8 242 / batch-32 251 f32 —
 group3 per-ROI head (154 GF/img at 300 test ROIs) scales with the ROI
 count, not the image count, so batching buys only 1.16x and ~360 is
 the practical architecture floor (tools/PROBES.md "ResNet-50 batched
-serving"); ResNet-18 single 234 / batch-8 559 / batch-32 647
-(light trunk is dispatch-bound at batch 1).  For VGG, bf16 compute is
+serving"); ResNet-18 single 234 / batch-8 559 / batch-32 647 f32 — **799.9
+int8 (+24%) / 710.9 bf16 (+10%)** at b32, its light trunk dominates so
+quantization pays off where R50's per-ROI head does not (and it is
+dispatch-bound at batch 1).  For VGG, bf16 compute is
 throughput-neutral at every batch size because XLA already lowers f32
 convs to single-pass bf16 MXU ops under the default precision; for
 R50 an explicit bf16 chain is +15% (the head/trunk activation chain
@@ -44,13 +46,18 @@ valid sampling of the same stochastic step, not a bitwise match of
 the concatenated form), 21.3
 it/s bf16, with donated train state; alternating-regime weak (MIL-only)
 step: 32.1 it/s (--alter); ResNet train (conv head over the same
-~4.1k ROIs, remat on for bottlenecks): R18 17.6 it/s, R50 7.6 it/s.  Train-step decomposition at 42.0 ms (device
-trace): convs 19.2 ms at ~45% MXU (conv-schedule-limited), Pallas ROI
-pool 5.6 fwd + 2.2 bwd for ~4.1k ROIs, cotangent relayout copies ~2.7,
-NMS 2.6, pool-path layout 1.0 (conv1 churn), targets/losses/optimizer
-the rest.  The residual gap to the conv roofline is XLA conv scheduling,
-not framework overhead (see wssdl_bus_tpu/ops/roi_pool_pallas.py for the
-Mosaic constraints that bound the pool path).
+~4.1k ROIs, remat on for bottlenecks): R18 17.6 it/s, R50 7.6 it/s.
+r04 train-step decomposition (tools/profile_train.py + exact-shape
+probes, 42.27 ms): full forward 20.53 ms (was 25.9 before the split
+head + fused pool+flatten), backward+optimizer 21.7; convs ~10 fwd +
+~18-19 bwd at ~45% MXU (conv-schedule-limited; conv1/2 backward DCE'd
+by the frozen mask), ROI pool ~7.5 fwd / +1 bwd (MIL-sparse argmax
+backward), Pallas NMS ~3 (3 x 12288 boxes), targets/losses/optimizer
+the rest.  The residual gap to the conv roofline is XLA conv
+scheduling, not framework overhead — 26 it/s would need conv-schedule
+gains or halving a pool kernel already 23x the XLA fallback (PROBES.md
+"Combined train step"); see wssdl_bus_tpu/ops/roi_pool_pallas.py for
+the Mosaic constraints that bound the pool path.
 """
 
 import argparse

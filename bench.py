@@ -31,7 +31,8 @@ the practical architecture floor (tools/PROBES.md "ResNet-50 batched
 serving"); ResNet-18 single 234 / batch-8 559 / batch-32 647 f32 — **799.9
 int8 (+24%) / 710.9 bf16 (+10%)** at b32, its light trunk dominates so
 quantization pays off where R50's per-ROI head does not (and it is
-dispatch-bound at batch 1).  For VGG, bf16 compute is
+dispatch-bound at batch 1); ResNet-34 489.2 and ResNet-101 195.0 f32
+at b32 complete the measured depth table.  For VGG, bf16 compute is
 throughput-neutral at every batch size because XLA already lowers f32
 convs to single-pass bf16 MXU ops under the default precision; for
 R50 an explicit bf16 chain is +15% (the head/trunk activation chain

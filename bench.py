@@ -64,8 +64,49 @@ the Mosaic constraints that bound the pool path.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
+
+# The recommended-config matrix (VERDICT r04 #2): one JSON line per config,
+# HEADLINE LAST (the driver parses the final line; its metric name must stay
+# stable round-over-round).  A plain `python bench.py` — the driver's
+# invocation — runs this matrix; any explicit config flag runs just that
+# config.  Each entry runs as a subprocess so models/caches are isolated;
+# with the persistent XLA compile cache warm, each is seconds.
+MATRIX = [
+    (["--batch", "1"], "vgg16 f32 b1 (reference per-image loop)"),
+    (["--int8"], "vgg16 int8 b32"),
+    (["--network", "Resnet_train", "--net_depth", "18"], "resnet18 f32 b32"),
+    (["--network", "Resnet_train", "--net_depth", "18", "--int8"],
+     "resnet18 int8 b32 (recommended R18 serving)"),
+    (["--network", "Resnet_train", "--net_depth", "50"], "resnet50 f32 b32"),
+    (["--network", "Resnet_train", "--net_depth", "50", "--bf16"],
+     "resnet50 bf16 b32 (recommended R50 serving)"),
+    (["--train"], "combined train step (device rate)"),
+    (["--train", "--e2e"], "combined train loop (sustained, real data layer)"),
+    ([], "vgg16 f32 b32 — HEADLINE"),
+]
+
+
+def run_matrix():
+    lines = []
+    for flags, label in MATRIX:
+        print(f"# matrix: {label} ...", file=sys.stderr, flush=True)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", *flags],
+            capture_output=True, text=True)
+        out = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not out:
+            # a broken config must not hide the rest of the matrix (nor the
+            # headline): record the failure on stderr and keep going
+            print(f"# matrix FAILED [{label}] rc={p.returncode}:\n"
+                  f"{p.stderr.strip()[-2000:]}", file=sys.stderr, flush=True)
+            continue
+        lines.append(out[-1])
+        print(out[-1], flush=True)
+    if not lines:
+        sys.exit("matrix: every config failed")
 
 # Measured on this host with `python bench.py --cpu [--batch 8]` (single
 # process, default threading): jitted full-pipeline inference, 608x800.
@@ -76,7 +117,17 @@ CPU_SUP_TRAIN_BASELINE_ITERS_PER_SEC = 0.064  # --train --sup_only --cpu
 
 
 def main():
+    if len(sys.argv) == 1:
+        # the driver's invocation: emit the full recommended-config matrix,
+        # headline last (see MATRIX)
+        return run_matrix()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full recommended-config matrix (one JSON "
+                         "line per config, headline last) — also the "
+                         "default when invoked with no flags")
+    ap.add_argument("--single", action="store_true",
+                    help="(internal) force single-config mode")
     ap.add_argument("--cpu", action="store_true",
                     help="measure the CPU baseline instead of the accelerator")
     ap.add_argument("--iters", type=int, default=100)
@@ -94,6 +145,11 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the combined TRAIN step instead "
                          "(1 supervised + 2 weak images, full budgets)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="with --train: SUSTAINED end-to-end rate of the "
+                         "real hot loop (RoIDataLayerJoint on the bundled "
+                         "SNUBH data + prefetch + host->device transfer + "
+                         "donated step) instead of the device-resident step")
     ap.add_argument("--alter", action="store_true",
                     help="benchmark the ALTERNATING regime's weak MIL-only "
                          "step instead (2 weak images, full budgets)")
@@ -114,8 +170,12 @@ def main():
                     help="static canvas (default 608x800, the SNUBH "
                          "serving canvas; smaller = quick smoke runs)")
     args = ap.parse_args()
+    if args.matrix:
+        return run_matrix()
     if args.sup_only and (args.alter or not args.train):
         ap.error("--sup_only modifies --train (and excludes --alter)")
+    if args.e2e and not args.train:
+        ap.error("--e2e modifies --train")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -150,6 +210,79 @@ def main():
         net_tag += "_bf16"
     eng = Engine(model, cfg, canvas)
     rng = np.random.RandomState(3)
+
+    if args.train and args.e2e:
+        # SUSTAINED end-to-end training rate: the real hot loop — joint
+        # data layer on the bundled SNUBH images (decode/augment/pack on
+        # host), prefetch thread, host->device transfer, donated device
+        # step — exactly Solver.train_combined's per-iteration work minus
+        # display/snapshot/eval (solver.py:457-487; reference hot loop:
+        # train_bus.py:732-764).  Also measures the device-resident step at
+        # the SAME canvas in the same process so the JSON carries the feed
+        # efficiency (sustained / device-resident).
+        import jax.numpy as jnp
+
+        from wssdl_bus_tpu.data.augment import max_canvas
+        from wssdl_bus_tpu.data.dataset import get_imdb, get_training_roidb
+        from wssdl_bus_tpu.data.loader import Prefetcher, RoIDataLayerJoint
+
+        # pin the serving-canvas config the recorded overfit run used
+        # (tools/overfit_regression.py: TRAIN.MAX_SIZE 800 -> canvas 608x816,
+        # within 2% of the 608x800 device-step benchmark canvas)
+        cfg = cfg._set_dotted("TRAIN.MAX_SIZE", 800)
+        data_dir = "/root/reference/SNUBH_BUS"
+        imdb = get_imdb("bus_test", data_dir)
+        roidb = get_training_roidb(imdb, use_flipped=cfg.TRAIN.USE_FLIPPED)
+        sizes = [(e["height"], e["width"]) for e in roidb]
+        canvas = max_canvas(sizes, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE,
+                            crop_margin=cfg.TRAIN.CROPPING_MAX_MARGIN)
+        eng = Engine(model, cfg, canvas)
+        variables, opt_state = eng.init(jax.random.PRNGKey(0))
+        layer = Prefetcher(RoIDataLayerJoint(
+            roidb, roidb, args.network, cfg, canvas,
+            rng=np.random.RandomState(3)))
+        key, lr = jax.random.PRNGKey(1), jnp.float32(5e-4)
+
+        def one_step(i):
+            nonlocal variables, opt_state
+            blobs = layer.forward()
+            dev = {k: jnp.asarray(v) for k, v in blobs.items()}
+            variables, opt_state, ls = eng.train_step_donated(
+                variables, opt_state, dev, key, lr, jnp.int32(i))
+            return ls
+
+        float(one_step(0).total)  # compile + warm the prefetcher
+        iters = max(10, args.iters)
+        ls = None
+        t0 = time.perf_counter()
+        for i in range(iters):
+            ls = one_step(i)
+        float(ls.total)
+        dt_e2e = (time.perf_counter() - t0) / iters
+
+        # device-resident rate at the same canvas (the r04-style number)
+        dev = {k: jnp.asarray(v) for k, v in layer.forward().items()}
+        layer.close()
+        variables, opt_state, ls = eng.train_step_donated(
+            variables, opt_state, dev, key, lr, jnp.int32(0))
+        float(ls.total)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            variables, opt_state, ls = eng.train_step_donated(
+                variables, opt_state, dev, key, lr, jnp.int32(i))
+        float(ls.total)
+        dt_dev = (time.perf_counter() - t0) / iters
+
+        print(json.dumps({
+            "metric": f"{net_tag}_frcnn_train_e2e_sustained_iters_per_sec_"
+                      f"{jax.devices()[0].platform}",
+            "value": round(1.0 / dt_e2e, 3),
+            "unit": "iters/sec",
+            "vs_baseline": round((1.0 / dt_e2e) / 0.003, 3),
+            "device_resident_iters_per_sec": round(1.0 / dt_dev, 3),
+            "feed_efficiency": round(dt_dev / dt_e2e, 3),
+        }))
+        return
 
     if args.alter:
         import jax.numpy as jnp

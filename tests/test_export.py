@@ -171,6 +171,7 @@ def test_predict_cli_from_artifact(exported, tmp_path):
     assert os.path.exists(os.path.join(out, "im2_pred.png"))
 
 
+@pytest.mark.mesh
 def test_parallel_engine_rejected(tmp_path):
     from wssdl_bus_tpu.parallel import build_engine
     cfg = tiny_cfg()

@@ -108,6 +108,7 @@ def test_solver_resume(tmp_path):
 
 @pytest.mark.slow  # mesh <-> single-device resume; test_solver_resume covers the
 # subsystem in the fast lane
+@pytest.mark.mesh
 def test_solver_resume_across_topologies(tmp_path):
     """Snapshots are host-fetched before orbax, so a run trained on a
     (2,1) mesh resumes on a single-device Engine and vice versa."""

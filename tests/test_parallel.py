@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.mesh  # whole module needs >= 8 virtual devices
+
 from tests.test_engine import CANVAS, synth_batch, tiny_cfg
 from wssdl_bus_tpu.models.detector import FasterRCNN
 from wssdl_bus_tpu.parallel import ParallelEngine, make_mesh

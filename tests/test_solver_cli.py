@@ -118,6 +118,7 @@ def test_train_alter_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "test", "eval.txt"))
 
 
+@pytest.mark.mesh
 def test_mesh_train_and_serve_cli(tmp_path):
     """Multi-device wiring e2e on the virtual CPU mesh: combined training
     with --mesh_data 2 (global batch = 2 contiguous joint slots, grads
@@ -163,6 +164,7 @@ def test_eval_batch_cli(tmp_path):
     assert all(isinstance(b, np.ndarray) for b in all_boxes[1])
 
 
+@pytest.mark.mesh
 def test_mesh_alter_cli(tmp_path):
     """Alternating regime under a data-parallel mesh: both the supervised
     parallel step and train_step_mil_parallel run, two optimizer states."""

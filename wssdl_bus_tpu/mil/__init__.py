@@ -26,8 +26,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG = jnp.float32(-1e30)
-_POS = jnp.float32(1e30)
+# plain Python floats: they promote to the operand's f32 dtype inside jit,
+# and a module-level jnp constant would initialize the JAX backend at import
+# time (breaking the test harness's collection-time device-count decision)
+_NEG = -1e30
+_POS = 1e30
 
 
 def _select_row(logits, score, valid):

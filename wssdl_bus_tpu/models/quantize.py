@@ -369,14 +369,21 @@ def _resnet_norm_paths(depth, part):
     return paths + extra
 
 
-def calibrate_resnet(model, variables, batches, calib_rois=None) -> dict:
+def calibrate_resnet(model, variables, batches, calib_rois=None,
+                     spatial_scale=1.0 / 16.0) -> dict:
     """Observe per-conv-input absmaxes for trunk AND head.
 
     ``batches`` iterates preprocessed [B, H, W, 3] serving inputs.  The
     head sees ROI-pooled features; ``calib_rois`` optionally supplies
-    [B, R, 4] boxes per batch — default is one full-image box per image
-    (a sound absmax proxy: ROI max-pooling selects values from the
-    feature map, so the full-image pool dominates every sub-ROI's range).
+    [B, R, 4] boxes per batch — default is one full-image box per image.
+    The full-image pool dominates every sub-ROI's range only at the FIRST
+    group3 conv input (ROI max-pooling selects from the same feature map);
+    deeper group3 activations under real sub-ROIs are not bounded by the
+    full-image walk, so for tight head ranges prefer ``calib_rois`` with
+    RPN-proposal-like boxes (the serving accuracy contract is pinned by
+    tests/test_quantize.py's detection-tracking tests either way).
+    ``spatial_scale`` must match the serving head's ROI pooling geometry
+    (the Engine passes ``1.0 / cfg.FEAT_STRIDE``, engine.py:_pool_for_head).
     """
     if model.norm not in (None, "BN"):
         raise NotImplementedError(
@@ -396,7 +403,7 @@ def calibrate_resnet(model, variables, batches, calib_rois=None) -> dict:
         rec: dict = {}
         t_ops = _ResnetF32(tp, ts, model.norm, record=rec)
         feat = _walk_resnet_trunk(t_ops, data, depth)
-        pooled = roi_pool_grouped(feat, rois, 7, 7, 1.0 / 16.0)
+        pooled = roi_pool_grouped(feat, rois, 7, 7, spatial_scale)
         pooled = pooled.reshape(-1, 7, 7, feat.shape[-1])
         h_ops = _ResnetF32(hp, hs, model.norm, record=rec)
         _walk_resnet_head_group(h_ops, pooled, depth)
@@ -464,6 +471,14 @@ def quantize_resnet(variables, norm, depth, act_scales: dict) -> dict:
     """Quantize trunk + head -> the serving pytree for
     ``quant_resnet_trunk_apply`` / ``quant_resnet_head_apply``.  The f32
     RPN convs and the cls/bbox dense heads ride along unquantized."""
+    if norm not in (None, "BN"):
+        # duplicate of the calibrate_resnet guard: the act_scales shortcut
+        # through Engine.quantize_for_serving must hit the same clear error
+        # (not a bare KeyError on the missing conv bias of a GN ConvBlock)
+        raise NotImplementedError(
+            f"int8 ResNet serving supports norm None/'BN', not {norm!r} "
+            "(GroupNorm is data-dependent at serving time and cannot be "
+            "folded)")
     tp = variables["trunk"]["params"]
     ts = variables["trunk"].get("batch_stats", {})
     hp = variables["head"]["params"]

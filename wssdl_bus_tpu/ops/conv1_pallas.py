@@ -71,6 +71,13 @@ of the pipeline DMA), dwarfing the in-kernel compute (~1.2 ms).  It is
 therefore gated OPT-IN: ``fused_stem_ok`` returns True only with
 ``WSSDL_FUSED_STEM=1``.  The fix is a width-in-lanes data layout (channels
 in sublanes), which is the follow-up design.
+
+RE-EVALUATION TRIGGER: re-run ``tools/check_stem_tpu.py`` (and the r04
+on/off bench matrix, tools/PROBES.md "Stem-dispatch status") when a Mosaic
+upgrade lowers EITHER (a) sub-32-bit shifted ref-loads or (b) lane-offset
+``tpu.concatenate`` (the two failures in PROBES.md "Mosaic lowering support
+matrix" that force the expensive XLA-side input staging).  Until one of
+those lowers, this kernel stays a measured-negative evidence artifact.
 """
 
 from __future__ import annotations

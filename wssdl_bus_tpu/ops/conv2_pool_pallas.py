@@ -72,6 +72,13 @@ and is gated OPT-IN (``WSSDL_STEM_TAIL=1``); ``conv2_pool_ok`` returns
 False otherwise.  See tools/PROBES.md for the design history and
 tools/profile_vgg_blocks.py for where the stem time actually goes.
 
+RE-EVALUATION TRIGGER: re-run the on/off x b32/b1 bench matrix
+(tools/PROBES.md "Stem-dispatch status") when a Mosaic upgrade lowers
+sub-32-bit shifted ref-loads or lane-offset concatenation (PROBES.md
+"Mosaic lowering support matrix") — those would let the halo staging move
+in-kernel and remove the 0.87 ms/img XLA-side halo-tensor assembly this
+design pays for.  Until then the kernel is a measured-negative record.
+
 Wired into ``models/detector.py:FasterRCNN.apply_trunk`` (inference AND
 the training forward — VGG conv1/conv2 are frozen, reference
 ``VGGnet_train_bus.py:45-49`` ``trainable=False``, here the optimizer

@@ -73,7 +73,9 @@ def export_serving(eng, variables, out_dir: str, net_name: str,
     post-training-quantized against those activation ranges
     (models/quantize.py) and the exported program is the quantized
     inference step.  The shipped variables are then ``{"qtrunk", "head"}``
-    — no float trunk copy, ~4x smaller weights.  The restored
+    for VGG (the fc head stays f32) and just ``{"qtrunk"}`` for ResNet
+    (its quantized group3 head + fc live inside the qtrunk pytree) — no
+    float copy of any quantized part, ~4x smaller weights.  The restored
     :class:`ServingModel` surface is identical either way.
     """
     import jax
@@ -92,9 +94,17 @@ def export_serving(eng, variables, out_dir: str, net_name: str,
     h, w = eng.canvas_hw
     if calib_batches is not None:
         qtrunk = eng.quantize_for_serving(variables, calib_batches)
-        ship = {"qtrunk": qtrunk, "head": variables["head"]}
-        step = jax.jit(lambda v, d, i: eng._inference_quant_impl(
-            v["qtrunk"], v["head"], d, i))
+        if eng.model.backbone == "VGGnet":
+            ship = {"qtrunk": qtrunk, "head": variables["head"]}
+            step = jax.jit(lambda v, d, i: eng._inference_quant_impl(
+                v["qtrunk"], v["head"], d, i))
+        else:
+            # ResNet qtrunk already holds the quantized group3 head + fc;
+            # _inference_quant_impl never reads head_vars on this branch,
+            # so shipping the float head would be a dead ~2x weight copy
+            ship = {"qtrunk": qtrunk}
+            step = jax.jit(lambda v, d, i: eng._inference_quant_impl(
+                v["qtrunk"], None, d, i))
     else:
         ship = variables
         step = jax.jit(lambda v, d, i: eng._inference_impl(v, d, i))

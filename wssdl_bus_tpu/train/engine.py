@@ -671,8 +671,9 @@ class Engine:
         if act_scales is None:
             if calib_batches is None:
                 raise ValueError("need calib_batches or act_scales")
-            act_scales = calibrate_resnet(self.model, variables,
-                                          calib_batches)
+            act_scales = calibrate_resnet(
+                self.model, variables, calib_batches,
+                spatial_scale=1.0 / self.cfg.FEAT_STRIDE)
         return quantize_resnet(variables, self.model.norm,
                                self.model.depth, act_scales)
 

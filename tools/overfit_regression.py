@@ -129,34 +129,23 @@ def parse_eval(path):
     return float(m_ap.group(1)), float(m_cl.group(1)), txt
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=2000)
-    ap.add_argument("--out", default="/tmp/wssdl_overfit")
-    ap.add_argument("--small", action="store_true",
-                    help="150-px canvas + (2,4,8) anchors (CPU smoke)")
-    ap.add_argument("--no_assert", action="store_true")
-    ap.add_argument("--lr", type=float, default=None,
-                    help="override TRAIN.LEARNING_RATE")
-    ap.add_argument("--set_cfgs", nargs="*", default=[],
-                    help="extra KEY VALUE config overrides appended last "
-                         "(e.g. TRAIN.MAX_SIZE 800 TEST.MAX_SIZE 800 to pin "
-                         "the 608x800 serving canvas, which reuses the "
-                         "persistent-cache train/eval programs)")
-    args = ap.parse_args()
-
+def run_overfit(out, iters=2000, small=False, lr=None, set_cfgs=(),
+                network="VGGnet_train", net_depth=18):
+    """Train the seeded overfit recipe + evaluate it; -> (ckpt, eval_dir,
+    mean_ap, corloc).  Importable so the on-hardware pytest lane
+    (tests/tpu/) can share one trained snapshot across its tests."""
     from wssdl_bus_tpu.utils.xla_cache import enable_compilation_cache
     enable_compilation_cache()
 
-    cfgs = list(SMALL_CFGS) if args.small else []
-    cfgs += ["TRAIN.SNAPSHOT_ITERS", str(args.iters),
-             "TRAIN.TEST_ITERS", str(args.iters + 1),  # eval via test CLI
+    cfgs = list(SMALL_CFGS) if small else []
+    cfgs += ["TRAIN.SNAPSHOT_ITERS", str(iters),
+             "TRAIN.TEST_ITERS", str(iters + 1),  # eval via test CLI
              "TRAIN.DISPLAY", "100"]
-    if args.lr is not None:
-        cfgs += ["TRAIN.LEARNING_RATE", str(args.lr)]
-    cfgs += list(args.set_cfgs)
+    if lr is not None:
+        cfgs += ["TRAIN.LEARNING_RATE", str(lr)]
+    cfgs += list(set_cfgs)
 
-    out = os.path.abspath(args.out)
+    out = os.path.abspath(out)
     from wssdl_bus_tpu.main.train import main as train_main
     # --unfreeze_stem: this is a FROM-SCRATCH run (no ImageNet weights in
     # the image) — with the reference's frozen conv1/conv2 the stem stays
@@ -167,28 +156,66 @@ def main():
     # sampling ratio, not learning).  The reference never runs from
     # scratch (train.py requires the .npy init), so unfreezing here tests
     # the same learning machinery without contradicting parity defaults.
+    # ResNet needs neither: nothing is frozen and BN keeps a from-scratch
+    # init trainable, so the flax default init is used as-is.
     os.makedirs(out, exist_ok=True)
-    he_npy = make_he_init_npy(os.path.join(out, "he_init_vgg.npy"))
+    net_args = ["--network", network, "--net_depth", str(net_depth)]
+    if network.startswith("VGGnet"):
+        he_npy = make_he_init_npy(os.path.join(out, "he_init_vgg.npy"))
+        net_args += ["--unfreeze_stem", "--pretrained_model", he_npy]
     run_cli(train_main, [
-        "train.py", "--max_iters", str(args.iters), "--output_dir", out,
-        "--unfreeze_stem", "--pretrained_model", he_npy,
-        "--data_dir", DATA, "--set_cfgs", *cfgs])
+        "train.py", "--max_iters", str(iters), "--output_dir", out,
+        *net_args, "--data_dir", DATA, "--set_cfgs", *cfgs])
 
     snaps = sorted(d for d in os.listdir(out) if "_iter_" in d)
     assert snaps, f"no snapshot written in {out}"
     ckpt = os.path.join(out, snaps[-1])
     print(f"snapshot: {ckpt}")
 
-    from wssdl_bus_tpu.main.test import main as test_main
     eval_dir = os.path.join(out, "final_eval")
+    mean_ap, corloc = run_eval(ckpt, eval_dir, set_cfgs=cfgs,
+                               network=network.replace("_train", "_test"),
+                               net_depth=net_depth)
+    print(f"iters={iters} small={small}")
+    return ckpt, eval_dir, mean_ap, corloc
+
+
+def run_eval(ckpt, eval_dir, set_cfgs=(), network="VGGnet_test",
+             net_depth=18, extra_args=()):
+    """Evaluate a snapshot with the test CLI -> (mean_ap, corloc)."""
+    from wssdl_bus_tpu.main.test import main as test_main
     run_cli(test_main, [
         "test.py", "--model", ckpt, "--output_dir", eval_dir,
-        "--data_dir", DATA, "--set_cfgs", *cfgs])
-
+        "--network", network, "--net_depth", str(net_depth),
+        *extra_args, "--data_dir", DATA, "--set_cfgs", *set_cfgs])
     mean_ap, corloc, txt = parse_eval(os.path.join(eval_dir, "eval.txt"))
     print("\n===== overfit regression metrics =====")
     print("\n".join(l for l in txt.splitlines()[:6]))
-    print(f"iters={args.iters} small={args.small}")
+    return mean_ap, corloc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--out", default="/tmp/wssdl_overfit")
+    ap.add_argument("--small", action="store_true",
+                    help="150-px canvas + (2,4,8) anchors (CPU smoke)")
+    ap.add_argument("--no_assert", action="store_true")
+    ap.add_argument("--network", default="VGGnet_train")
+    ap.add_argument("--net_depth", type=int, default=18)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override TRAIN.LEARNING_RATE")
+    ap.add_argument("--set_cfgs", nargs="*", default=[],
+                    help="extra KEY VALUE config overrides appended last "
+                         "(e.g. TRAIN.MAX_SIZE 800 TEST.MAX_SIZE 800 to pin "
+                         "the 608x800 serving canvas, which reuses the "
+                         "persistent-cache train/eval programs)")
+    args = ap.parse_args()
+
+    _, _, mean_ap, corloc = run_overfit(
+        args.out, iters=args.iters, small=args.small, lr=args.lr,
+        set_cfgs=args.set_cfgs, network=args.network,
+        net_depth=args.net_depth)
     if args.no_assert:
         return
     assert mean_ap >= FLOOR_MEAN_AP, (

@@ -127,6 +127,47 @@ def main():
     t(step_resident, label="device step (resident, async)")
     float(step_resident().total)
 
+    # --- staged loop variants: isolate the e2e overhead source ---
+    # pre-draw real blobs so 'put'/'step' variants see fresh host arrays
+    pre = [layer.forward() for _ in range(6)]
+
+    def timed_loop(body, label, sync=None):
+        body(0)  # warm
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            body(i)
+        if sync is not None:
+            sync()
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"  {label:<28s} {dt * 1e3:9.1f} ms")
+        return dt
+
+    timed_loop(lambda i: layer.forward(), "loop: forward only")
+    timed_loop(lambda i: jax.block_until_ready(
+        {k: jnp.asarray(v) for k, v in pre[i % 6].items()}),
+        "loop: put fresh (blocked)")
+    puts = [None]
+    timed_loop(lambda i: puts.__setitem__(
+        0, {k: jnp.asarray(v) for k, v in pre[i % 6].items()}),
+        "loop: put fresh (async)",
+        sync=lambda: jax.block_until_ready(puts[0]))
+
+    def step_body(i):
+        nonlocal variables, opt_state
+        variables, opt_state, ls[0] = eng.train_step_donated(
+            variables, opt_state, dev, key, lr, jnp.int32(i))
+    ls = [None]
+    timed_loop(step_body, "loop: step resident (synced)",
+               sync=lambda: float(ls[0].total))
+
+    def putstep_body(i):
+        nonlocal variables, opt_state
+        d = {k: jnp.asarray(v) for k, v in pre[i % 6].items()}
+        variables, opt_state, ls[0] = eng.train_step_donated(
+            variables, opt_state, d, key, lr, jnp.int32(i))
+    timed_loop(putstep_body, "loop: put + step (synced)",
+               sync=lambda: float(ls[0].total))
+
     # --- end-to-end loop variants ---
     def loop(layer_obj, label):
         nonlocal variables, opt_state

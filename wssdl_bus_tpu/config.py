@@ -90,6 +90,11 @@ class TrainConfig:
     # honored: the Solver's default prefetch behavior when the CLI passes
     # neither --prefetch nor --no_prefetch (reference config.py:172)
     USE_PREFETCH: bool = False
+    # Additive (no reference key): stage raw uint8 images and finish
+    # photometric/resize preparation ON DEVICE inside the train step
+    # (ops/device_prep.py) — ~17x smaller host->device payload, decisive
+    # on relay-attached TPUs.  Train-feed only; eval/test keep host prep.
+    DEVICE_PREP: bool = True
 
     PROPOSAL_METHOD: str = "gt"
     ASPECT_GROUPING: bool = True

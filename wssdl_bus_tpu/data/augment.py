@@ -45,9 +45,18 @@ def compute_scale(h: int, w: int, target_size: int, max_size: int) -> float:
     return im_scale
 
 
-def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
-               is_ws: bool, rng: np.random.RandomState):
-    """-> (prepared [H', W'] float32, im_scale)."""
+def sample_prep(im: np.ndarray, net_name: str, cfg: Config,
+                is_training: bool, is_ws: bool, rng: np.random.RandomState):
+    """Phase A of ``prep_image``: the host-side geometric transforms (ws
+    rotation + cropping) plus ALL the random draws, in the reference's
+    exact draw sequence (blob.py:39-58 + minibatch_bus.py:24-25), so the
+    host and device-prep paths consume an identical RNG stream.
+
+    -> (im_a [h, w] float32 in [0, 1], params dict) where params carries
+    everything phase B needs: brightness ``delta`` (0.0 when disabled),
+    contrast ``factor`` (1.0) and ``cmean`` (the POST-brightness image
+    mean the reference contrast op pivots on), the resized extent
+    ``(oh, ow)`` and ``im_scale``."""
     t = cfg.TRAIN
     im = im.astype(np.float32) / 255.0
 
@@ -70,18 +79,20 @@ def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
             r = rng.randint(1, max(int(mw), 1) + 1)
             im = im[u:-d, l:-r]
 
+    delta, factor, cmean = 0.0, 1.0, 0.0
     if is_training:
         if t.USE_BRIGHTNESS_ADJUSTMENT:
-            im = np.clip(im + rng.uniform(-t.BRIGHTNESS_ADJUSTMENT_MAX_DELTA,
-                                          t.BRIGHTNESS_ADJUSTMENT_MAX_DELTA),
-                         0.0, 1.0)
+            delta = rng.uniform(-t.BRIGHTNESS_ADJUSTMENT_MAX_DELTA,
+                                t.BRIGHTNESS_ADJUSTMENT_MAX_DELTA)
         if t.USE_CONTRAST_ADJUSTMENT:
-            mm = im.mean()
-            f = rng.uniform(t.CONTRAST_ADJUSTMENT_LOWER_FACTOR,
-                            t.CONTRAST_ADJUSTMENT_UPPER_FACTOR)
-            im = np.clip((im - mm) * f + mm, 0.0, 1.0)
-
-    im = im - cfg.PIXEL_MEAN / 255.0
+            # the reference computes the pivot mean AFTER brightness
+            # (augmented image order blob.py:50-58); the factor draw
+            # follows the mean computation in program order but consumes
+            # the stream identically either way
+            cmean = (np.clip(im + delta, 0.0, 1.0).mean() if delta != 0.0
+                     else im.mean())
+            factor = rng.uniform(t.CONTRAST_ADJUSTMENT_LOWER_FACTOR,
+                                 t.CONTRAST_ADJUSTMENT_UPPER_FACTOR)
 
     if is_training:
         # reference training picks one random scale per image
@@ -108,13 +119,31 @@ def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
     im_scale = compute_scale(h, w, target, max_size)
     out_h = int(np.round(h * im_scale))
     out_w = int(np.round(w * im_scale))
-    im = resize_bilinear(im, out_h, out_w)
+    return im, {"delta": delta, "factor": factor, "cmean": cmean,
+                "im_scale": im_scale, "oh": out_h, "ow": out_w}
+
+
+def prep_image(im: np.ndarray, net_name: str, cfg: Config, is_training: bool,
+               is_ws: bool, rng: np.random.RandomState):
+    """-> (prepared [H', W'] float32, im_scale).  Phase A draws +
+    transforms via :func:`sample_prep`, then the photometric / mean-sub /
+    resize / net-scale tail applied HOST-side (the classic path; the
+    device-prep path applies the identical tail on device,
+    ops/device_prep.py)."""
+    im, p = sample_prep(im, net_name, cfg, is_training, is_ws, rng)
+    if p["delta"] != 0.0:
+        im = np.clip(im + p["delta"], 0.0, 1.0)
+    if p["factor"] != 1.0:
+        im = np.clip((im - p["cmean"]) * p["factor"] + p["cmean"], 0.0, 1.0)
+
+    im = im - cfg.PIXEL_MEAN / 255.0
+    im = resize_bilinear(im, p["oh"], p["ow"])
 
     if net_name[:6] == "Resnet":
         im = im / (cfg.PIXEL_STD / 255.0)
     else:  # VGGnet
         im = im * 255.0
-    return im.astype(np.float32), im_scale
+    return im.astype(np.float32), p["im_scale"]
 
 
 def max_canvas(image_sizes, target_size: int, max_size: int,

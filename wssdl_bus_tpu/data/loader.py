@@ -67,6 +67,15 @@ def _concat_slots(blobs: list) -> dict:
             for k in blobs[0]}
 
 
+def _raw_canvas(*roidbs):
+    """Static staging canvas for device-prep blobs: the max ORIGINAL image
+    extent over the roidbs (ws rotation preserves size and cropping only
+    shrinks), rounded up to a multiple of 8 for tidy device layout."""
+    h = max(e["height"] for db in roidbs for e in db)
+    w = max(e["width"] for db in roidbs for e in db)
+    return (-(-h // 8) * 8, -(-w // 8) * 8)
+
+
 def _slot_pool(slots: int):
     """Worker pool for parallel per-slot minibatch assembly.  The hot
     loops (imread, resize/rotate/photometric) run in native code or
@@ -86,7 +95,8 @@ class RoIDataLayer:
 
     def __init__(self, roidb, net_name: str, cfg: Config, canvas_hw,
                  is_training: bool, is_ws: bool = False,
-                 rng: np.random.RandomState = None, slots: int = 1):
+                 rng: np.random.RandomState = None, slots: int = 1,
+                 device_prep: bool = False):
         self.roidb = roidb
         self.net_name = net_name
         self.cfg = cfg
@@ -97,6 +107,9 @@ class RoIDataLayer:
         per = cfg.TRAIN.WS_IMS_PER_BATCH if is_ws else cfg.TRAIN.IMS_PER_BATCH
         self.ims_per_batch = per if is_training else 1
         self.slots = slots
+        # device-prep staging layout (raw uint8 + params; ops/device_prep):
+        # cuts the per-step host->device payload ~17x
+        self.raw_hw = _raw_canvas(roidb) if device_prep else None
         self.cursor = _Cursor(len(roidb), is_training, self.rng)
         self._pool = _slot_pool(slots)
 
@@ -104,7 +117,8 @@ class RoIDataLayer:
         idx = self.cursor.next(self.ims_per_batch)
         batch = [self.roidb[i] for i in idx]
         return get_minibatch(batch, self.net_name, self.cfg, self.canvas_hw,
-                             self.is_training, self.is_ws, self.rng)
+                             self.is_training, self.is_ws, self.rng,
+                             raw_hw=self.raw_hw)
 
     def forward(self):
         if self.slots == 1:
@@ -121,7 +135,8 @@ class RoIDataLayer:
         blobs = list(self._pool.map(
             lambda j: get_minibatch(j[0], self.net_name, self.cfg,
                                     self.canvas_hw, self.is_training,
-                                    self.is_ws, j[1]), jobs))
+                                    self.is_ws, j[1], raw_hw=self.raw_hw),
+            jobs))
         return _concat_slots(blobs)
 
     def state_dict(self) -> dict:
@@ -166,7 +181,8 @@ class RoIDataLayerJoint:
 
     def __init__(self, roidb_s, roidb_ws, net_name: str, cfg: Config,
                  canvas_hw, is_training: bool = True,
-                 rng: np.random.RandomState = None, slots: int = 1):
+                 rng: np.random.RandomState = None, slots: int = 1,
+                 device_prep: bool = False):
         self.roidb_s = roidb_s
         self.roidb_ws = roidb_ws
         self.net_name = net_name
@@ -175,6 +191,8 @@ class RoIDataLayerJoint:
         self.rng = rng or np.random.RandomState(cfg.RNG_SEED)
         self.is_training = is_training
         self.slots = slots
+        self.raw_hw = (_raw_canvas(roidb_s, roidb_ws) if device_prep
+                       else None)
         self.cursor_s = _Cursor(len(roidb_s), is_training, self.rng)
         self.cursor_ws = _Cursor(len(roidb_ws), is_training, self.rng)
         self._pool = _slot_pool(slots)
@@ -185,7 +203,8 @@ class RoIDataLayerJoint:
         return get_minibatch_joint([self.roidb_s[i] for i in ids],
                                    [self.roidb_ws[i] for i in idw],
                                    self.net_name, self.cfg, self.canvas_hw,
-                                   self.rng, is_training=self.is_training)
+                                   self.rng, is_training=self.is_training,
+                                   raw_hw=self.raw_hw)
 
     def forward(self):
         if self.slots == 1:
@@ -201,7 +220,7 @@ class RoIDataLayerJoint:
         blobs = list(self._pool.map(
             lambda j: get_minibatch_joint(
                 j[0], j[1], self.net_name, self.cfg, self.canvas_hw, j[2],
-                is_training=self.is_training), jobs))
+                is_training=self.is_training, raw_hw=self.raw_hw), jobs))
         return _concat_slots(blobs)
 
     def state_dict(self) -> dict:
@@ -302,18 +321,21 @@ class Prefetcher:
 
 
 def get_data_layer(roidbs, net_name, cfg, canvas_hw, is_training,
-                   is_ws=False, is_joint=False, rng=None, slots=1):
+                   is_ws=False, is_joint=False, rng=None, slots=1,
+                   device_prep=False):
     """Data-layer factory (reference ``get_data_layer``,
     train_bus.py:1037-1053): joint -> RoIDataLayerJoint over (roidb_s,
     roidb_ws); otherwise a single RoIDataLayer.  ``slots`` > 1 assembles
-    per-mesh-slot global batches (see the layer docstrings)."""
+    per-mesh-slot global batches (see the layer docstrings);
+    ``device_prep`` stages raw uint8 blobs finished on device
+    (ops/device_prep.py)."""
     if is_joint:
         return RoIDataLayerJoint(roidbs[0], roidbs[1], net_name, cfg,
                                  canvas_hw, is_training=is_training, rng=rng,
-                                 slots=slots)
+                                 slots=slots, device_prep=device_prep)
     return RoIDataLayer(roidbs, net_name, cfg, canvas_hw,
                         is_training=is_training, is_ws=is_ws, rng=rng,
-                        slots=slots)
+                        slots=slots, device_prep=device_prep)
 
 
 def prefetch_iter(gen, depth: int = 2):

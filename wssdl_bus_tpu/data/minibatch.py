@@ -27,14 +27,31 @@ from typing import List
 import numpy as np
 
 from wssdl_bus_tpu.config import Config
-from wssdl_bus_tpu.data.augment import prep_image
+from wssdl_bus_tpu.data.augment import prep_image, sample_prep
+
+_DECODE_CACHE: dict = {}
+_DECODE_CACHE_MAX = 256  # ~100 MB at SNUBH image sizes
 
 
 def _load_gray(entry) -> np.ndarray:
-    from PIL import Image
-    im = np.asarray(Image.open(entry["image"]))
-    if entry.get("flipped"):
-        im = im[:, ::-1]
+    """Decoded grayscale image (flip applied), with a bounded in-memory
+    cache: training re-decodes every image once per epoch otherwise, and
+    on the 1-CPU bench host decode is ~2-3 ms per image of pure repeat
+    work (the reference re-reads from disk every step too,
+    minibatch_bus.py:31 cv2.imread — a cache is additive)."""
+    key = (entry["image"], bool(entry.get("flipped")))
+    im = _DECODE_CACHE.get(key)
+    if im is None:
+        from PIL import Image
+        im = np.asarray(Image.open(entry["image"]))
+        if entry.get("flipped"):
+            im = np.ascontiguousarray(im[:, ::-1])
+        if len(_DECODE_CACHE) >= _DECODE_CACHE_MAX:
+            try:  # best-effort eviction; loaders may share the cache
+                _DECODE_CACHE.pop(next(iter(_DECODE_CACHE)))
+            except (KeyError, StopIteration):
+                pass
+        _DECODE_CACHE[key] = im
     return im
 
 
@@ -58,71 +75,129 @@ def _pack(images: List[np.ndarray], canvas_hw) -> np.ndarray:
     return blob
 
 
+def _pack_raw(images01, prep_list, raw_hw):
+    """Device-prep staging blobs: [B, Hr, Wr] uint8 (phase-A images packed
+    top-left, EDGE-REPLICATED padding — the resize clamp taps,
+    ops/device_prep.py) + [B, 8] f32 prep params."""
+    from wssdl_bus_tpu.ops.device_prep import (CMEAN, DELTA, FACTOR, IH, IW,
+                                               N_PREP, OH, OW)
+    h, w = raw_hw
+    raw = np.zeros((len(images01), h, w), np.uint8)
+    prep = np.zeros((len(images01), N_PREP), np.float32)
+    for i, (im, p) in enumerate(zip(images01, prep_list)):
+        ih, iw = im.shape
+        if ih > h or iw > w:
+            import warnings
+            warnings.warn(
+                f"image {im.shape} exceeds raw canvas {raw_hw}; truncating "
+                "— recompute the raw canvas for this dataset")
+            im = im[:h, :w]
+            ih, iw = im.shape
+        # np.rint: exact for unrotated images (values are k/255); <= 1/510
+        # quantization for rotated ws images (device_prep.py docstring)
+        raw[i, :ih, :iw] = np.rint(im * 255.0).astype(np.uint8)
+        raw[i, :ih, iw:] = raw[i, :ih, iw - 1:iw]
+        raw[i, ih:, :] = raw[i, ih - 1:ih, :]
+        prep[i, IH], prep[i, IW] = ih, iw
+        prep[i, OH], prep[i, OW] = p["oh"], p["ow"]
+        prep[i, DELTA] = p["delta"]
+        prep[i, FACTOR] = p["factor"]
+        prep[i, CMEAN] = p["cmean"]
+    return raw, prep
+
+
 def get_minibatch(roidb, net_name: str, cfg: Config, canvas_hw,
                   is_training: bool, is_ws: bool,
-                  rng: np.random.RandomState):
-    """Single-regime minibatch (supervised OR weak), minibatch_bus.py:15-94."""
+                  rng: np.random.RandomState, raw_hw=None):
+    """Single-regime minibatch (supervised OR weak), minibatch_bus.py:15-94.
+
+    ``raw_hw`` switches to the device-prep staging layout: blobs carry
+    (``raw``, ``prep``) instead of ``data`` (ops/device_prep.py) and the
+    photometric/resize tail runs inside the train step — identical RNG
+    draws, ~17x smaller host->device payload."""
     n = len(roidb)
-    images, scales = [], []
+    device_prep = raw_hw is not None
+    images, scales, preps = [], [], []
     for entry in roidb:
-        im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
-                           is_ws, rng)
+        if device_prep:
+            im, p = sample_prep(_load_gray(entry), net_name, cfg,
+                                is_training, is_ws, rng)
+            preps.append(p)
+            s = p["im_scale"]
+            shape_hw = (p["oh"], p["ow"])
+        else:
+            im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
+                               is_ws, rng)
+            shape_hw = im.shape
         images.append(im)
-        scales.append(s)
+        scales.append((s, shape_hw))
 
     g = cfg.TRAIN.MAX_GT_PER_IMAGE
     gt_boxes = np.zeros((n, g, 5), np.float32)
     num_gt = np.zeros((n,), np.int32)
     im_info = np.zeros((n, 4), np.float32)
     for i, entry in enumerate(roidb):
+        s, (sh, sw) = scales[i]
         if not is_ws:
             k = len(entry["gt_classes"])
-            gt_boxes[i, :k, :4] = entry["boxes"] * scales[i]
+            gt_boxes[i, :k, :4] = entry["boxes"] * s
             gt_boxes[i, :k, 4] = entry["gt_classes"]
             num_gt[i] = k
-        im_info[i] = [images[i].shape[0], images[i].shape[1], scales[i],
-                      entry["birads_diag"]]
+        im_info[i] = [sh, sw, s, entry["birads_diag"]]
 
-    return {"data": _pack(images, canvas_hw), "gt_boxes": gt_boxes,
-            "num_gt_boxes": num_gt, "im_info": im_info}
+    out = {"gt_boxes": gt_boxes, "num_gt_boxes": num_gt, "im_info": im_info}
+    if device_prep:
+        out["raw"], out["prep"] = _pack_raw(images, preps, raw_hw)
+    else:
+        out["data"] = _pack(images, canvas_hw)
+    return out
 
 
 def get_minibatch_joint(roidb_s, roidb_ws, net_name: str, cfg: Config,
                         canvas_hw, rng: np.random.RandomState,
-                        is_training: bool = True):
+                        is_training: bool = True, raw_hw=None):
     """Joint minibatch: supervised images (full aug minus ws-only ops), then
     weak images (with rotation/cropping), minibatch_bus.py:96-139.
     ``is_training=False`` disables all random augmentation (the reference
-    threads the flag through to prep_im_for_blob, minibatch_bus.py:96)."""
+    threads the flag through to prep_im_for_blob, minibatch_bus.py:96).
+    ``raw_hw``: device-prep staging layout (see ``get_minibatch``)."""
     n_s, n_ws = len(roidb_s), len(roidb_ws)
     n = n_s + n_ws
-    images, scales = [], []
-    for entry in roidb_s:
-        im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
-                           False, rng)
+    device_prep = raw_hw is not None
+    images, scales, preps = [], [], []
+    for entry, ws in ([(e, False) for e in roidb_s]
+                      + [(e, is_training) for e in roidb_ws]):
+        if device_prep:
+            im, p = sample_prep(_load_gray(entry), net_name, cfg,
+                                is_training, ws, rng)
+            preps.append(p)
+            s, shape_hw = p["im_scale"], (p["oh"], p["ow"])
+        else:
+            im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
+                               ws, rng)
+            shape_hw = im.shape
         images.append(im)
-        scales.append(s)
-    for entry in roidb_ws:
-        im, s = prep_image(_load_gray(entry), net_name, cfg, is_training,
-                           is_training, rng)
-        images.append(im)
-        scales.append(s)
+        scales.append((s, shape_hw))
 
     g = cfg.TRAIN.MAX_GT_PER_IMAGE
     gt_boxes = np.zeros((n, g, 5), np.float32)
     num_gt = np.zeros((n,), np.int32)
     im_info = np.zeros((n, 4), np.float32)
     for i, entry in enumerate(roidb_s):
+        s, (sh, sw) = scales[i]
         k = len(entry["gt_classes"])
-        gt_boxes[i, :k, :4] = entry["boxes"] * scales[i]
+        gt_boxes[i, :k, :4] = entry["boxes"] * s
         gt_boxes[i, :k, 4] = entry["gt_classes"]
         num_gt[i] = k
-        im_info[i] = [images[i].shape[0], images[i].shape[1], scales[i],
-                      entry["birads_diag"]]
+        im_info[i] = [sh, sw, s, entry["birads_diag"]]
     for j, entry in enumerate(roidb_ws):
         i = n_s + j
-        im_info[i] = [images[i].shape[0], images[i].shape[1], scales[i],
-                      entry["birads_diag"]]
+        s, (sh, sw) = scales[i]
+        im_info[i] = [sh, sw, s, entry["birads_diag"]]
 
-    return {"data": _pack(images, canvas_hw), "gt_boxes": gt_boxes,
-            "num_gt_boxes": num_gt, "im_info": im_info}
+    out = {"gt_boxes": gt_boxes, "num_gt_boxes": num_gt, "im_info": im_info}
+    if device_prep:
+        out["raw"], out["prep"] = _pack_raw(images, preps, raw_hw)
+    else:
+        out["data"] = _pack(images, canvas_hw)
+    return out

@@ -428,7 +428,7 @@ class Solver:
             self.roidb_train_s, self.roidb_train_ws, self.net_name, cfg,
             self.eng.canvas_hw,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
-            slots=self.n_slots)
+            slots=self.n_slots, device_prep=cfg.TRAIN.DEVICE_PREP)
         training_loss, _ = self._regime_restore("joint", {"joint": layer})
         if self.use_prefetch:
             layer = Prefetcher(layer)
@@ -546,12 +546,12 @@ class Solver:
             self.roidb_train_s, self.net_name, cfg, self.eng.canvas_hw,
             is_training=True, is_ws=False,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
-            slots=self.n_slots)
+            slots=self.n_slots, device_prep=cfg.TRAIN.DEVICE_PREP)
         layer_ws = RoIDataLayer(
             self.roidb_train_ws, self.net_name, cfg, self.eng.canvas_hw,
             is_training=True, is_ws=True,
             rng=np.random.RandomState(self.rng.randint(2 ** 31)),
-            slots=self.n_slots)
+            slots=self.n_slots, device_prep=cfg.TRAIN.DEVICE_PREP)
         training_loss, carry = self._regime_restore(
             "s", {"s": layer_s, "ws": layer_ws})
         if self.use_prefetch:

@@ -246,6 +246,8 @@ def main():
                 rng=np.random.RandomState(3),
                 device_prep=cfg.TRAIN.DEVICE_PREP)
 
+        iters = max(10, args.iters)
+
         def measure(layer):
             nonlocal variables, opt_state
 
@@ -258,7 +260,6 @@ def main():
                 return ls
 
             float(one_step(0).total)  # compile/warm
-            iters = max(10, args.iters)
             t0 = time.perf_counter()
             for i in range(iters):
                 ls = one_step(i)

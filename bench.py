@@ -1,6 +1,19 @@
 """Benchmark: detection throughput of the flagship VGG16 Faster R-CNN on the
 default accelerator (one TPU chip under the driver).
 
+Invoked with NO flags (the driver's invocation) it emits the FULL
+recommended-config matrix — one JSON line per config (VGG f32 b1/int8,
+R18 f32/int8, R50 f32/bf16, the train step, the sustained e2e train
+loop), HEADLINE (VGG f32 b32) LAST so the driver's last-line parser sees
+the stable metric while the whole matrix lands in BENCH_r*.json for
+round-over-round regression visibility (r04 review, Missing #2).
+``--train --e2e`` measures the SUSTAINED rate of the real hot loop (data
+layer on the bundled SNUBH images + prefetch + transfer + donated step)
+— r05 closed the 14x host-bound gap found in r04 with the device-side
+prep feed (ops/device_prep.py): 20.5 it/s sustained = 86% of the
+device-resident rate through the axon relay (tools/PROBES.md
+"Train-feed decomposition").
+
 Matches the reference's inference configuration (test_bus.py im_detect:
 shortest side 600, TEST proposal budgets 6000 pre-NMS / 300 post-NMS, NMS
 0.7 — reference config.py:231,257-265).  The default is the BATCHED serving

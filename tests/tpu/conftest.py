@@ -35,8 +35,11 @@ EVIDENCE_DIR = os.environ.get("WSSDL_TPU_EVIDENCE_DIR",
 # the serving-canvas pin from the recorded overfit run (608x816 canvas,
 # within 2% of the 608x800 bench canvas; reuses persistent-cache programs)
 CANVAS_CFGS = ["TRAIN.MAX_SIZE", "800", "TEST.MAX_SIZE", "800"]
-VGG_ITERS = int(os.environ.get("WSSDL_TPU_OVERFIT_ITERS", "2000"))
-RESNET_ITERS = int(os.environ.get("WSSDL_TPU_RESNET_ITERS", "2000"))
+# the recorded asserting recipe used 4000 iters (tools/overfit_regression
+# docstring); with the r05 device-prep feed that is ~3-10 min of training
+# per backbone on one v5e, so the lane defaults to the full recipe
+VGG_ITERS = int(os.environ.get("WSSDL_TPU_OVERFIT_ITERS", "4000"))
+RESNET_ITERS = int(os.environ.get("WSSDL_TPU_RESNET_ITERS", "4000"))
 
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -165,7 +165,9 @@ def run_overfit(out, iters=2000, small=False, lr=None, set_cfgs=(),
         net_args += ["--unfreeze_stem", "--pretrained_model", he_npy]
     run_cli(train_main, [
         "train.py", "--max_iters", str(iters), "--output_dir", out,
-        *net_args, "--data_dir", DATA, "--set_cfgs", *cfgs])
+        # prefetch measured +17% sustained it/s with the device-prep feed
+        # (tools/PROBES.md "Train-feed decomposition")
+        *net_args, "--prefetch", "--data_dir", DATA, "--set_cfgs", *cfgs])
 
     snaps = sorted(d for d in os.listdir(out) if "_iter_" in d)
     assert snaps, f"no snapshot written in {out}"

@@ -96,7 +96,7 @@ def test_loader_slots_layout(monkeypatch):
     from wssdl_bus_tpu.data import loader as ld
 
     def fake_minibatch(batch, net_name, cfg, canvas_hw, is_training, is_ws,
-                       rng):
+                       rng, raw_hw=None):
         assert rng is not None  # each slot gets a private RandomState
         return {"data": np.full((len(batch), 4), batch[0]["id"], np.float32)}
 

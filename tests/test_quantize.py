@@ -244,6 +244,11 @@ def test_quantize_for_serving_rejects_groupnorm_resnet():
     eng = Engine(model, cfg, CANVAS)
     with pytest.raises(NotImplementedError):
         eng.quantize_for_serving(None, [])
+    # the act_scales shortcut bypasses calibration — it must hit the SAME
+    # clear error inside quantize_resnet, not a bare KeyError on the
+    # missing conv bias of a GN ConvBlock (r04 advisor finding)
+    with pytest.raises(NotImplementedError):
+        eng.quantize_for_serving(None, act_scales={"dummy": 1.0})
 
 
 @pytest.mark.slow

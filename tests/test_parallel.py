@@ -10,7 +10,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.mesh  # whole module needs >= 8 virtual devices
+# whole module needs >= 8 virtual devices; also slow-marked as a module:
+# ONE selected mesh test forces the 8-device backend for the entire
+# pytest process (the device count is process-global), which is exactly
+# the fast-lane inflation the conftest scoping removes
+pytestmark = [pytest.mark.mesh, pytest.mark.slow]
 
 from tests.test_engine import CANVAS, synth_batch, tiny_cfg
 from wssdl_bus_tpu.models.detector import FasterRCNN

@@ -79,8 +79,10 @@ def _overfit_snapshot(network, net_depth, iters, subdir):
     from overfit_regression import run_eval, run_overfit
 
     out = os.path.join(EVIDENCE_DIR, subdir)
-    tag = "VGGnet" if network.startswith("VGGnet") else "Resnet"
-    ckpt = os.path.join(out, f"{tag}_fast_rcnn_iter_{iters}")
+    # the snapshot prefix is cfg.TRAIN.SNAPSHOT_PREFIX (reference-parity
+    # "VGGnet_fast_rcnn" for EVERY backbone, reference config.py) — match
+    # on the iter suffix, not the prefix
+    ckpt = os.path.join(out, f"VGGnet_fast_rcnn_iter_{iters}")
     metrics = os.path.join(out, "fixture_metrics.txt")
     if (os.path.isdir(ckpt) and os.path.exists(metrics)
             and os.environ.get("WSSDL_TPU_FRESH") != "1"):

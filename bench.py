@@ -10,9 +10,10 @@ round-over-round regression visibility (r04 review, Missing #2).
 ``--train --e2e`` measures the SUSTAINED rate of the real hot loop (data
 layer on the bundled SNUBH images + prefetch + transfer + donated step)
 — r05 closed the 14x host-bound gap found in r04 with the device-side
-prep feed (ops/device_prep.py): 20.5 it/s sustained = 86% of the
-device-resident rate through the axon relay (tools/PROBES.md
-"Train-feed decomposition").
+prep feed (ops/device_prep.py): **24.08 it/s sustained = 99.1% of the
+24.3 it/s device-resident rate** through the axon relay (r05 matrix,
+with the train compiler options; tools/PROBES.md "Train-feed
+decomposition").
 
 Matches the reference's inference configuration (test_bus.py im_detect:
 shortest side 600, TEST proposal budgets 6000 pre-NMS / 300 post-NMS, NMS
@@ -29,49 +30,55 @@ batch 8 and used for every batch >= 2 — the CPU is compute-bound, so its
 per-image throughput is batch-insensitive), pinned so TPU runs report a
 stable ratio.  Target from BASELINE.json: vs_baseline >= 10.
 
-Measured v5e numbers (canvas 608x800; b32/b1 re-measured 2026-08-20 in
-the r04 matrix with the stem-tail kernel demoted back to opt-in after it
-measured 253.5 img/s @ b32 / ~148 @ b1 — 9% / 29% SLOWER than the XLA
-stem, the r03 driver regression): VGG16 single-image 207 img/s,
-batch-8 258, batch-16 271, batch-32 278.5-278.9, batch-48 279 (saturated at the
-trunk's conv roofline; batch-64 exhausts HBM — conv1 activations alone
-are ~160 MB/image — hence the batch-32 default, near-peak with memory
-headroom); ResNet-50 single 249 / batch-8 242 / batch-32 251 f32 —
-**285.5 int8 (trunk+head) / 289.1 bf16** at b32, r04 matrix; the
-group3 per-ROI head (154 GF/img at 300 test ROIs) scales with the ROI
-count, not the image count, so batching buys only 1.16x and ~360 is
-the practical architecture floor (tools/PROBES.md "ResNet-50 batched
-serving"); ResNet-18 single 234 / batch-8 559 / batch-32 647 f32 — **799.9
-int8 (+24%) / 710.9 bf16 (+10%)** at b32, its light trunk dominates so
-quantization pays off where R50's per-ROI head does not (and it is
-dispatch-bound at batch 1); ResNet-34 489.2 and ResNet-101 195.0 f32
-at b32 complete the measured depth table.  For VGG, bf16 compute is
-throughput-neutral at every batch size because XLA already lowers f32
-convs to single-pass bf16 MXU ops under the default precision; for
-R50 an explicit bf16 chain is +15% (the head/trunk activation chain
-stays bf16 in HBM).  Combined train step (1 supervised + 2
-weak images): 23.2 it/s f32 (42.0 ms device; was 20.7 before the
+Measured v5e numbers (canvas 608x800; the full matrix re-pinned
+2026-08-21 in the r05 matrix with the measured per-program compiler
+options integrated — serving jits get scoped-vmem 64 MiB, train jits get
+multi-level nested loop fusion; utils/tpu_opts.py, tools/PROBES.md "XLA
+compiler-option sweep"): VGG16 single-image 211.1 img/s, batch-32
+**289.3** f32 / **314.8 int8** (before the options: 207 / 278.6 / 312;
+batch-48 was saturated at 279 pre-options and batch-64 exhausts HBM —
+conv1 activations alone are ~160 MB/image — hence the batch-32 default,
+near-peak with memory headroom); ResNet-50 batch-32 **258.8 f32 /
+295.8 bf16** (285.5 int8 trunk+head, r04); the group3 per-ROI head
+(154 GF/img at 300 test ROIs) scales with the ROI count, not the image
+count, so batching buys only 1.16x and ~360 is the practical
+architecture floor (tools/PROBES.md "ResNet-50 batched serving");
+ResNet-18 batch-32 **662.2 f32 / 802.1 int8** (710.9 bf16, r04) — its
+light trunk dominates so quantization pays off where R50's per-ROI head
+does not (and it is dispatch-bound at batch 1); ResNet-34 489.2 and
+ResNet-101 195.0 f32 at b32 complete the measured depth table (r04,
+pre-options).  For VGG, bf16 compute is throughput-neutral at every
+batch size because XLA already lowers f32 convs to single-pass bf16 MXU
+ops under the default precision (confirmed by the sweep:
+xla_jf_conv_full_precision is 3x slower); for R50 an explicit bf16
+chain is +14% (the head/trunk activation chain stays bf16 in HBM).
+Combined train step (1 supervised + 2 weak images): **24.1 it/s** f32
+(was 23.2 pre-options, 20.7 before the r04 kernel wins: the
 anchor-target one-hot matmul (HIGHEST-precision, exact), the
-select-reduce CE (exact) and the fused pool+flatten kernel
-(bit-identical operand) — the fourth win, the split VGG head
-application, draws the two groups' dropout masks from split keys
-and changes grad-reduction order, so it is a different-but-equally-
-valid sampling of the same stochastic step, not a bitwise match of
-the concatenated form), 21.3
-it/s bf16, with donated train state; alternating-regime weak (MIL-only)
-step: 32.1 it/s (--alter); ResNet train (conv head over the same
-~4.1k ROIs, remat on for bottlenecks): R18 17.6 it/s, R50 7.6 it/s.
+select-reduce CE (exact), the fused pool+flatten kernel (bit-identical
+operand), and the split VGG head application — the last draws the two
+groups' dropout masks from split keys and changes grad-reduction order,
+so it is a different-but-equally-valid sampling of the same stochastic
+step, not a bitwise match of the concatenated form), 21.3 it/s bf16
+(r04), with donated train state; alternating-regime weak (MIL-only)
+step: 32.1 it/s (--alter, r04); ResNet train (conv head over the same
+~4.1k ROIs, remat on for bottlenecks): R18 17.6 it/s, R50 7.6 it/s
+(r04).
 r04 train-step decomposition (tools/profile_train.py + exact-shape
 probes, 42.27 ms): full forward 20.53 ms (was 25.9 before the split
 head + fused pool+flatten), backward+optimizer 21.7; convs ~10 fwd +
 ~18-19 bwd at ~45% MXU (conv-schedule-limited; conv1/2 backward DCE'd
 by the frozen mask), ROI pool ~7.5 fwd / +1 bwd (MIL-sparse argmax
 backward), Pallas NMS ~3 (3 x 12288 boxes), targets/losses/optimizer
-the rest.  The residual gap to the conv roofline is XLA conv
-scheduling, not framework overhead — 26 it/s would need conv-schedule
-gains or halving a pool kernel already 23x the XLA fallback (PROBES.md
-"Combined train step"); see wssdl_bus_tpu/ops/roi_pool_pallas.py for
-the Mosaic constraints that bound the pool path.
+the rest.  The r05 compiler-option sweep recovered the in-framework
+share of that gap (+2% train via multi-level nested loop fusion, +3.8%
+serving via the 64 MiB scoped-vmem raise — tools/PROBES.md "XLA
+compiler-option sweep"); the residual to 26 it/s is ~7%, in the conv
+schedule itself, which no swept option touches — further gains need
+conv-schedule changes or halving a pool kernel already 23x the XLA
+fallback (PROBES.md "Combined train step"); see
+wssdl_bus_tpu/ops/roi_pool_pallas.py for the Mosaic constraints that
+bound the pool path.
 """
 
 import argparse
@@ -80,6 +87,7 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
 
 # The recommended-config matrix (VERDICT r04 #2): one JSON line per config,
 # HEADLINE LAST (the driver parses the final line; its metric name must stay
@@ -436,7 +444,13 @@ def main():
         # same distribution as every timed batch)
         qtrunk = eng.quantize_for_serving(variables, [datas[0]])
 
-    @jax.jit
+    # the measured serving compiler options apply to this OUTER jit — the
+    # program a deployment actually runs (utils/tpu_opts.py: scoped-vmem
+    # 64 MiB, +3.8% on the b32 headline; tools/PROBES.md "XLA
+    # compiler-option sweep")
+    from wssdl_bus_tpu.utils.tpu_opts import serving_compiler_options
+
+    @partial(jax.jit, compiler_options=serving_compiler_options())
     def chained_step(c, data):
         if qtrunk is not None:
             outs = eng.inference_step_quant(qtrunk, variables,

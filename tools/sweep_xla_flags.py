@@ -8,12 +8,21 @@ re-pinned or the floor is finally proven.
 Channel note (measured 2026-08-21): this client's XLA build is CPU-only
 — every ``--xla_tpu_*`` flag in ``XLA_FLAGS`` is "Unknown flag" and
 aborts the process; the TPU compiler lives behind the axon relay and is
-reached ONLY via PJRT compile options
+reached via PJRT compile options
 (``jax.jit(f).lower(...).compile(compiler_options=...)``), which the
 relay forwards (verified: a bogus option name fails the REMOTE compile
 with HTTP 500, a real TPU option compiles).  So the sweep AOT-compiles
 each program per option set in-process; every new option set is one cold
 remote compile, and results append to --out as they arrive.
+
+Second verified channel: ``LIBTPU_INIT_ARGS="--xla_tpu_..."`` in the
+environment ALSO reaches the remote compiler (same "No such compile
+option" rejection for a bogus name; never parsed by the local OSS XLA,
+so TPU-only names are safe there, unlike ``XLA_FLAGS``) and is hashed
+into the axon cassette env key, so cached binaries can't leak across
+flag configs.  That is the no-code-change vehicle for applying a winning
+option process-wide; per-program application uses
+``jax.jit(f, compiler_options=...)`` (supported in this jax).
 
     python tools/sweep_xla_flags.py --benches serve_b32 train
     python tools/sweep_xla_flags.py --only base lhs vmem96
@@ -29,7 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OPTION_SETS = {
     "base": {},
     "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "vmem48": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
+    "vmem56": {"xla_tpu_scoped_vmem_limit_kib": "57344"},
     "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem72": {"xla_tpu_scoped_vmem_limit_kib": "73728"},
+    "vmem80": {"xla_tpu_scoped_vmem_limit_kib": "81920"},
     "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
     "vmem128": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
     "lhs+vmem96": {"xla_tpu_enable_latency_hiding_scheduler": "true",

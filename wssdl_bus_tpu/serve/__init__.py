@@ -167,14 +167,22 @@ class ServingModel:
                     f"no exported program for batch size {b}; artifact has "
                     f"{self.batch_sizes} (use detect(), which pads, or "
                     f"re-export with this batch size)")
+            import jax
             from jax import export as jexport
+
+            from wssdl_bus_tpu.utils.tpu_opts import serving_compiler_options
             with open(os.path.join(self.path, f"infer_b{b}.shlo"),
                       "rb") as f:
-                self._programs[b] = jexport.deserialize(f.read())
+                exported = jexport.deserialize(f.read())
+            # compile the restored program with the measured serving
+            # options (utils/tpu_opts.py; StableHLO carries no compiler
+            # options — they apply at compile time, i.e. HERE)
+            self._programs[b] = jax.jit(
+                exported.call, compiler_options=serving_compiler_options())
         return self._programs[b]
 
     def inference_step(self, variables, data, im_info):
-        return self._program(int(np.shape(data)[0])).call(
+        return self._program(int(np.shape(data)[0]))(
             variables, data, im_info)
 
     # ------------------------------------------------------------------ #

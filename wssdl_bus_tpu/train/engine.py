@@ -34,6 +34,8 @@ from wssdl_bus_tpu.ops.proposal import proposal_layer
 from wssdl_bus_tpu.ops.proposal_target import proposal_target_layer
 from wssdl_bus_tpu.ops.roi_pool_pallas import roi_pool_fc, roi_pool_grouped
 from wssdl_bus_tpu.train import losses as L
+from wssdl_bus_tpu.utils.tpu_opts import (lazy_jit, serving_compiler_options,
+                                          train_compiler_options)
 
 
 class StepLosses(NamedTuple):
@@ -454,13 +456,14 @@ class Engine:
             new_vars[part] = v
         return new_vars, opt_state, ls
 
-    @partial(jax.jit, static_argnums=(0,))
+    @lazy_jit(train_compiler_options, static_argnums=(0,))
     def train_step(self, variables, opt_state, batch, key, lr, step):
         """One combined SGD update (train_model, train_bus.py:595-764)."""
         return self._train_step_impl(variables, opt_state, batch, key, lr,
                                      step)
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    @lazy_jit(train_compiler_options, static_argnums=(0,),
+              donate_argnums=(1, 2))
     def train_step_donated(self, variables, opt_state, batch, key, lr, step):
         """``train_step`` with the (variables, opt_state) input buffers
         DONATED: XLA writes the updated train state in place, aliasing
@@ -522,7 +525,7 @@ class Engine:
             new_vars[part] = v
         return new_vars, opt_state, mil
 
-    @partial(jax.jit, static_argnums=(0,))
+    @lazy_jit(train_compiler_options, static_argnums=(0,))
     def train_step_mil(self, variables, opt_state, batch, key, lr, step):
         """One weakly-supervised SGD update for the ALTERNATING regime:
         only the MIL bag loss is optimized (train_bus.py:298-301,368-394).
@@ -531,7 +534,8 @@ class Engine:
         return self._train_step_mil_impl(variables, opt_state, batch, key,
                                          lr, step)
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    @lazy_jit(train_compiler_options, static_argnums=(0,),
+              donate_argnums=(1, 2))
     def train_step_mil_donated(self, variables, opt_state, batch, key, lr,
                                step):
         """``train_step_mil`` with donated (variables, opt_state) input
@@ -656,7 +660,7 @@ class Engine:
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred
 
-    @partial(jax.jit, static_argnums=(0,))
+    @lazy_jit(serving_compiler_options, static_argnums=(0,))
     def inference_step(self, variables, data, im_info):
         return self._inference_impl(variables, data, im_info)
 
@@ -730,7 +734,7 @@ class Engine:
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return rois, props.valid.reshape(-1), cls_score, cls_prob, bbox_pred
 
-    @partial(jax.jit, static_argnums=(0,))
+    @lazy_jit(serving_compiler_options, static_argnums=(0,))
     def inference_step_quant(self, qtrunk, variables, data, im_info):
         """:meth:`inference_step` with the int8 trunk (full ``variables``
         accepted for surface symmetry; only the head is used)."""

@@ -51,6 +51,19 @@ OPTION_SETS = {
     # result (the option does not exist in this TPU compiler)
     "licm": {"xla_tpu_enable_while_loop_invariant_code_motion": "true"},
     "flm": {"xla_tpu_enable_multi_level_nested_loop_fusion": "true"},
+    # round 2: combos on top of the flm train win + more speculative names
+    "flm+licm_ratio": {"xla_tpu_enable_multi_level_nested_loop_fusion": "true",
+                       "xla_tpu_licm_size_inflation_ratio": "2.0"},
+    "flm+dotdot": {"xla_tpu_enable_multi_level_nested_loop_fusion": "true",
+                   "xla_tpu_dot_dot_fusion": "true"},
+    "flm+nodsr": {"xla_tpu_enable_multi_level_nested_loop_fusion": "true",
+                  "xla_tpu_enable_dot_strength_reduction": "false"},
+    "flm+fcm": {"xla_tpu_enable_multi_level_nested_loop_fusion": "true",
+                "xla_tpu_enable_experimental_fusion_cost_model": "true"},
+    "vmem_prefetch": {"xla_tpu_enable_vmem_prefetching": "true"},
+    "opt_barrier": {"xla_tpu_aggressive_opt_barrier_removal": "true"},
+    "mof": {"xla_tpu_enable_multi_output_fusion": "true"},
+    "cmerge": {"xla_tpu_enable_copy_fusion": "true"},
 }
 
 CANVAS = (608, 800)

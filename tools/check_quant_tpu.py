@@ -1,7 +1,36 @@
-"""Real-TPU spot check for the int8 serving path: the quantized trunk's
-integer codes must be exact on TPU (int conv arithmetic), and the
-dequantized features must track a float64 numpy oracle.  Run from the
-repo root on the TPU-attached host."""
+"""Real-TPU spot check for the int8 serving path (models/quantize.py).
+
+What it asserts, and why it is shaped this way:
+
+1. STAGE EXACTNESS, TPU codes canonical: for every trunk layer, the
+   TPU's own input codes are fed to an exact int64/float64 numpy mirror
+   of that one stage — the int8 x int8 conv accumulation must match
+   BITWISE in int32 (integer arithmetic has no ulps), and the f32
+   dequant/relu/pool must match to float32 ulps.
+2. END CONTRACT: the fused ``jax.jit(quant_trunk_apply)`` feature map
+   tracks the f32 trunk within 5% rel-RMS (the quantization accuracy
+   contract, tests/test_quantize.py).
+
+A FULL-CHAIN bitwise comparison against a numpy float32 replica (this
+tool's original form) is NOT a valid cross-platform contract and was
+retired 2026-08-21 after it failed honestly: XLA:TPU lowers the
+quantize-step division ``x / in_scale`` as reciprocal-multiply (~1 ulp
+of the ~100-magnitude code value ≈ 1e-3 absolute), so elements whose
+exact code fraction sits within that error of a .5 rounding boundary
+quantize to a NEIGHBORING code (~2e-3 of elements at layer 1); each
+flip is one quantum — inside the quantization noise the rel-RMS
+contract already budgets — but flips cascade through 13 re-quantizing
+layers into quantum-scale diffs on ~half the final elements (measured:
+50.2% mismatched, max 0.7% relative), which no fixed elementwise
+tolerance can express.  XLA:CPU happens to match numpy's exact
+division, which is why the CPU suite keeps the bitwise oracle contract
+(tests/test_quantize.py) — on hardware, stage exactness given the
+hardware's own codes is the meaningful equivalent.  The on-trained-model
+accuracy half lives in tests/tpu (AP/CorLoc parity of --int8 serving).
+
+Run from the repo root on the TPU-attached host; also wired into the
+evidence lane (tests/tpu/test_hardware_evidence.py::test_spot_check).
+"""
 import os
 import sys
 
@@ -12,7 +41,8 @@ import jax
 import jax.numpy as jnp
 
 from wssdl_bus_tpu.models.detector import FasterRCNN
-from wssdl_bus_tpu.models.quantize import (calibrate_vgg_trunk,
+from wssdl_bus_tpu.models.quantize import (VGG_LAYERS, calibrate_vgg_trunk,
+                                           _conv, max_pool, _quantize,
                                            quant_trunk_apply,
                                            quantize_vgg_trunk)
 
@@ -37,21 +67,75 @@ data = rng.randn(1, *CAL, 3).astype(np.float32) * 20.0
 scales = calibrate_vgg_trunk(model, variables, [data])
 qtrunk = quantize_vgg_trunk(variables, scales)
 
-feat_tpu, cls_tpu, _ = jax.jit(quant_trunk_apply)(qtrunk, jnp.asarray(data))
-feat_tpu = np.asarray(feat_tpu)
-
-# float64 numpy oracle of the same quantized chain
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
-from test_quantize import quant_trunk_oracle  # noqa: E402
+from test_quantize import conv2d_np, pool2_np  # noqa: E402
 
-feat_np = quant_trunk_oracle(qtrunk, data)
-rel = np.abs(feat_tpu - feat_np) / np.maximum(np.abs(feat_np), 1e-6)
-print(f"feat maxdiff {np.abs(feat_tpu - feat_np).max():.3e} "
-      f"relmax {rel.max():.3e}")
-# integer conv results are exact; only the f32 dequant chain can differ
-# by ulps between TPU and numpy
-np.testing.assert_allclose(feat_tpu, feat_np, rtol=1e-4, atol=1e-5)
+
+# ------------------------------------------------------------------ #
+# 1. Stage exactness with the TPU's own codes as the canonical input
+# ------------------------------------------------------------------ #
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(5,))
+def layer_stages(x, qkernel, in_scale, scale, bias, pool):
+    """One trunk layer, returning every intermediate the contract pins."""
+    xq = _quantize(x, in_scale)
+    acc = _conv(xq, qkernel, "SAME", preferred_element_type=jnp.int32)
+    y = jax.nn.relu(acc.astype(jnp.float32) * scale + bias)
+    out = max_pool(y, 2, 2, "VALID") if pool else y
+    return xq, acc, y, out
+
+
+x = jnp.asarray(data)
+flips = 0
+for li, ((name, pool), layer) in enumerate(zip(VGG_LAYERS,
+                                               qtrunk["layers"])):
+    xq, acc, y, out = layer_stages(x, layer["qkernel"], layer["in_scale"],
+                                   layer["scale"], layer["bias"], bool(pool))
+    xq_np = np.asarray(xq)
+
+    # the TPU codes must be a VALID quantization of the TPU's own input:
+    # within 0.5 + (reciprocal-multiply ulp slack) of exact, or clipped
+    exact = np.asarray(x, np.float64) / np.float64(np.asarray(
+        layer["in_scale"]))
+    interior = (np.abs(exact) < 126.5)
+    err = np.abs(xq_np.astype(np.float64) - exact)
+    bad = (err > 0.5 + 2e-3) & interior
+    assert not bad.any(), (name, err[interior].max())
+    flips += int(((err > 0.5) & interior).sum())
+
+    # int conv must be BITWISE exact given the same codes (s8xs8 -> s32)
+    acc_np = conv2d_np(xq_np, np.asarray(layer["qkernel"]), "SAME", np.int64)
+    assert np.abs(acc_np).max() < 2 ** 31, name
+    np.testing.assert_array_equal(np.asarray(acc), acc_np.astype(np.int32),
+                                  err_msg=name)
+
+    # dequant/relu (+pool) must match float64 math to f32 ulps
+    y_np = np.maximum(acc_np.astype(np.float64)
+                      * np.float64(np.asarray(layer["scale"]))
+                      + np.float64(np.asarray(layer["bias"])), 0.0)
+    np.testing.assert_allclose(np.asarray(y), y_np, rtol=2e-6, atol=1e-5,
+                               err_msg=name)
+    if pool:
+        np.testing.assert_allclose(np.asarray(out), pool2_np(
+            y_np.astype(np.float32)), rtol=2e-6, atol=1e-5, err_msg=name)
+    x = out
+
+print(f"stage exactness OK over {len(VGG_LAYERS)} layers "
+      f"(boundary-flip candidates vs exact division: {flips})")
+
+# ------------------------------------------------------------------ #
+# 2. End contract: the fused program tracks the f32 trunk (<5% rel-RMS)
+#    and the per-layer walk above IS the fused program's arithmetic
+# ------------------------------------------------------------------ #
+feat_tpu, cls_tpu, _ = jax.jit(quant_trunk_apply)(qtrunk, jnp.asarray(data))
+feat_tpu = np.asarray(feat_tpu)
+np.testing.assert_array_equal(
+    feat_tpu, np.asarray(x),
+    err_msg="fused quant_trunk_apply != the per-layer stage walk")
+
 f32_feat = np.asarray(model.apply_trunk(variables, jnp.asarray(data),
                                         train=False)[0])
 rms = np.sqrt(((feat_tpu - f32_feat) ** 2).mean()) \
